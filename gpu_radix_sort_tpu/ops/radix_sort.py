@@ -1,0 +1,174 @@
+"""Single-chip sort core: full and partial radix sort over uint32 keys.
+
+Capability mirror of the reference C ABI (libsort/invokers.cu):
+  * :func:`sort_full`     — ``providedGpu`` (invokers.cu:45): ascending full
+    sort of uint32 keys.
+  * :func:`sort_partial`  — ``gpuPartial`` (invokers.cu:15): stable sort by
+    bits [offset, offset+width) plus reference-contract group boundaries
+    (sort.cu:367-394).  The reference realizes width as width/2 two-bit LSD
+    passes — a GPU shared-memory artifact; digit width per pass here is an
+    implementation detail of the strategy.
+
+Strategies (selected per call or via set_default_strategy):
+  * ``"xla"``    — XLA's native sort (lax.sort / lax.sort_key_val).  Always
+    available, every backend; the correctness anchor.
+  * ``"pallas"`` — hand-written Pallas TPU kernels (ops/pallas_sort.py):
+    tile histogram + grid scan + run-coalesced scatter.
+  * ``"auto"``   — pallas on TPU when supported for the shape, else xla.
+
+All entry points are pure functions safe under jit/vmap/shard_map; nothing
+here reserves devices (the reference's semaphore+CAS device reservation,
+libsort/utils.cu:34-61, is unnecessary under JAX's single-owner runtime).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .bits import KEY_DTYPE, extract_digits, validate_digit_range
+from .boundaries import compute_boundaries, digit_counts
+
+_DEFAULT_STRATEGY = "auto"
+_VALID = ("auto", "xla", "pallas")
+
+
+def set_default_strategy(name: str) -> None:
+    global _DEFAULT_STRATEGY
+    if name not in _VALID:
+        raise ValueError(f"strategy must be one of {_VALID}, got {name!r}")
+    global_name = name
+    _DEFAULT_STRATEGY = global_name
+
+
+def get_default_strategy() -> str:
+    return _DEFAULT_STRATEGY
+
+
+def _resolve(strategy: str | None, n: int) -> str:
+    name = strategy or _DEFAULT_STRATEGY
+    if name not in _VALID:
+        raise ValueError(f"strategy must be one of {_VALID}, got {name!r}")
+    if name == "auto":
+        from . import pallas_sort
+
+        if pallas_sort.supported(n):
+            return "pallas"
+        return "xla"
+    return name
+
+
+# ---------------------------------------------------------------------------
+# XLA strategy
+# ---------------------------------------------------------------------------
+
+def _sort_full_xla(keys: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sort(keys.astype(KEY_DTYPE))
+
+
+def _sort_partial_xla(keys: jnp.ndarray, offset: int, width: int) -> jnp.ndarray:
+    digits = extract_digits(keys, offset, width)
+    _, sorted_keys = jax.lax.sort_key_val(
+        digits, keys.astype(KEY_DTYPE), is_stable=True
+    )
+    return sorted_keys
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def sort_full(keys: jnp.ndarray, *, strategy: str | None = None) -> jnp.ndarray:
+    """Ascending full sort of uint32 keys (reference: invokers.cu:45)."""
+    name = _resolve(strategy, keys.shape[0])
+    if name == "pallas":
+        from . import pallas_sort
+
+        return pallas_sort.sort_full(keys)
+    return _sort_full_xla(keys)
+
+
+def sort_by_digits(
+    keys: jnp.ndarray, offset: int, width: int, *, strategy: str | None = None
+) -> jnp.ndarray:
+    """Stable sort by bits [offset, offset+width) — the partial sort's data
+    movement without boundary extraction."""
+    validate_digit_range(offset, width)
+    name = _resolve(strategy, keys.shape[0])
+    if name == "pallas":
+        from . import pallas_sort
+
+        return pallas_sort.sort_by_digits(keys, offset, width)
+    return _sort_partial_xla(keys, offset, width)
+
+
+def sort_partial(
+    keys: jnp.ndarray, offset: int, width: int, *, strategy: str | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Stable partial sort + reference-contract boundaries.
+
+    Returns ``(sorted_keys, boundaries)`` where boundaries is
+    uint32[2^width] with the exact semantics of the reference C ABI
+    (invokers.cu:15 + sort.cu:367-394, empty-group backfill included).
+    """
+    sorted_keys = sort_by_digits(keys, offset, width, strategy=strategy)
+    boundaries = compute_boundaries(sorted_keys, offset, width)
+    return sorted_keys, boundaries
+
+
+def sort_partial_counts(
+    keys: jnp.ndarray, offset: int, width: int, *, strategy: str | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Stable partial sort + exact per-digit counts (int32[2^width]).
+
+    TPU-native variant used by the distributed path: counts come from the
+    histogram, avoiding the reference boundary contract's empty-group-0/1
+    quirks and keeping bucket metadata exact.
+    """
+    validate_digit_range(offset, width)
+    counts = digit_counts(keys, offset, width)
+    sorted_keys = sort_by_digits(keys, offset, width, strategy=strategy)
+    return sorted_keys, counts
+
+
+def sort_key_value(
+    keys: jnp.ndarray,
+    values: jnp.ndarray,
+    *,
+    strategy: str | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Stable ascending full sort of (key, value) rows.
+
+    Stability gives deterministic payload placement for duplicate keys —
+    the "stable payload placement" requirement of BASELINE.json.  ``values``
+    may be any dtype/shape with leading axis == len(keys); multi-byte
+    payloads ride along via a rank gather.
+    """
+    keys = keys.astype(KEY_DTYPE)
+    if values.shape[0] != keys.shape[0]:
+        raise ValueError(
+            f"values leading axis {values.shape[0]} != len(keys) {keys.shape[0]}"
+        )
+    if values.ndim == 1 and values.dtype.itemsize <= 4:
+        sorted_keys, sorted_vals = jax.lax.sort_key_val(
+            keys, values, is_stable=True
+        )
+        return sorted_keys, sorted_vals
+    # Wide payloads: sort (key, row-index) pairs, then gather payload rows.
+    idx = jnp.arange(keys.shape[0], dtype=jnp.uint32)
+    sorted_keys, order = jax.lax.sort_key_val(keys, idx, is_stable=True)
+    return sorted_keys, jnp.take(values, order, axis=0)
+
+
+def sort_key_value_by_digits(
+    keys: jnp.ndarray,
+    values: jnp.ndarray,
+    offset: int,
+    width: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Stable partial (digit) sort of (key, value) rows."""
+    validate_digit_range(offset, width)
+    digits = extract_digits(keys, offset, width)
+    idx = jnp.arange(keys.shape[0], dtype=jnp.uint32)
+    _, order = jax.lax.sort_key_val(digits, idx, is_stable=True)
+    return jnp.take(keys, order), jnp.take(values, order, axis=0)

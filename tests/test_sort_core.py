@@ -1,0 +1,168 @@
+"""Single-chip sort core: full/partial sort + boundary contract parity.
+
+Mirrors the reference test strategy (SURVEY.md §4): odd sizes (1111, 1021,
+4099) to hit non-power-of-2 tiles, exact-match oracles at every level, and
+cross-validation of every implementation (JAX/XLA strategy, numpy oracle,
+native C++ oracle) against one another.
+"""
+
+import numpy as np
+import pytest
+
+import gpu_radix_sort_tpu as gst
+from gpu_radix_sort_tpu.utils import checks, native
+from gpu_radix_sort_tpu.utils.keygen import Pcg32
+
+SIZES = [0, 1, 2, 1111, 1021, 4099, 1 << 14]
+WIDTHS = [(0, 8), (8, 8), (24, 8), (0, 16), (16, 16), (0, 4), (30, 2), (0, 1)]
+
+
+def _keys(n, seed_stream=None):
+    return Pcg32().fill(n)
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_sort_full_exact(n):
+    keys = _keys(n)
+    out = np.asarray(gst.sort_full(keys, strategy="xla"))
+    assert checks.check_sort_full(out, keys)
+    assert checks.check_sorted(out)
+
+
+@pytest.mark.parametrize("n", [1111, 4099])
+@pytest.mark.parametrize("offset,width", WIDTHS)
+def test_sort_partial_exact(n, offset, width):
+    keys = _keys(n)
+    out, boundaries = gst.sort_partial(keys, offset, width, strategy="xla")
+    out = np.asarray(out)
+    boundaries = np.asarray(boundaries)
+    assert checks.check_partial(out, keys, offset, width)
+    want_b = checks.boundaries_oracle(out, offset, width)
+    np.testing.assert_array_equal(boundaries, want_b)
+
+
+@pytest.mark.parametrize("offset,width", [(0, 8), (8, 4)])
+def test_partial_counts_exact(offset, width):
+    keys = _keys(4099)
+    out, counts = gst.sort_partial_counts(keys, offset, width, strategy="xla")
+    np.testing.assert_array_equal(
+        np.asarray(counts), checks.true_bucket_counts(keys, offset, width)
+    )
+    assert checks.check_partial(np.asarray(out), keys, offset, width)
+
+
+def test_partial_stability():
+    # Equal digits must preserve input order: encode provenance in low bits
+    # (reference fixture pattern: values encode (partId<<4)|arrId,
+    # testHelpers.go:123-154).
+    n = 2048
+    provenance = np.arange(n, dtype=np.uint32)
+    digits = np.asarray(Pcg32().fill(n) & 0xF, dtype=np.uint32)
+    keys = (digits << np.uint32(16)) | provenance
+    out, _ = gst.sort_partial(keys, 16, 4, strategy="xla")
+    out = np.asarray(out)
+    for d in range(16):
+        grp = out[(out >> 16) & 0xF == d]
+        assert np.all(np.diff(grp & 0xFFFF) > 0), f"digit {d} not stable"
+
+
+def test_boundary_backfill_quirks():
+    """The reference never backfills group 1 and never marks element 0's
+    group (sort.cu:367-394); verify bit-exact parity on crafted inputs."""
+    # All elements in group 3 (width 4): groups 0-2 empty.
+    keys = np.full(10, 3 << 4, dtype=np.uint32)
+    _, b = gst.sort_partial(keys, 4, 4, strategy="xla")
+    b = np.asarray(b)
+    want = checks.boundaries_oracle(keys, 4, 4)
+    np.testing.assert_array_equal(b, want)
+    # Reference contract: b[0]=0, b[1]=0 (quirk: un-backfilled), b[2]=0
+    # (backfilled from b[3]... wait b[3]=0 as group 3 starts at elem 0 and
+    # is never marked; b[4..15] = 10).
+    assert b[0] == 0 and b[1] == 0
+    assert np.all(b[4:] == 10)
+
+    # Group 1 empty, groups 0 and 2 present.
+    keys = np.array([0, 0, 2 << 4, 2 << 4, 2 << 4], dtype=np.uint32)
+    _, b = gst.sort_partial(keys, 4, 4, strategy="xla")
+    b = np.asarray(b)
+    np.testing.assert_array_equal(b, checks.boundaries_oracle(keys, 4, 4))
+    assert b[1] == 0  # quirk preserved
+    assert b[2] == 2
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+@pytest.mark.parametrize("offset,width", [(0, 8), (8, 8), (0, 16)])
+def test_native_oracle_agrees(offset, width):
+    keys = _keys(4099)
+    got_sorted, got_b = native.cpu_partial(keys, offset, width)
+    want_sorted = checks.partial_sort_oracle(keys, offset, width)
+    np.testing.assert_array_equal(got_sorted, want_sorted)
+    np.testing.assert_array_equal(
+        got_b, checks.boundaries_oracle(want_sorted, offset, width)
+    )
+    jx_sorted, jx_b = gst.sort_partial(keys, offset, width, strategy="xla")
+    np.testing.assert_array_equal(np.asarray(jx_sorted), got_sorted)
+    np.testing.assert_array_equal(np.asarray(jx_b), got_b)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_full_sort():
+    keys = _keys(1111)
+    got = native.cpu_sort(keys)
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_sort_key_value_stable():
+    n = 4099
+    keys = (Pcg32().fill(n) & np.uint32(0xFF)).astype(np.uint32)  # many dups
+    vals = np.arange(n, dtype=np.uint32)
+    sk, sv = gst.sort_key_value(keys, vals)
+    sk, sv = np.asarray(sk), np.asarray(sv)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(sk, keys[order])
+    np.testing.assert_array_equal(sv, order.astype(np.uint32))
+
+
+def test_sort_key_value_wide_payload():
+    n = 1021
+    keys = Pcg32().fill(n)
+    payload = gst.generate_payloads(n, payload_bytes=64)
+    sk, sp = gst.sort_key_value(keys, payload)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(sk), keys[order])
+    np.testing.assert_array_equal(np.asarray(sp), payload[order])
+
+
+def test_sort_key_value_by_digits():
+    n = 1111
+    keys = Pcg32().fill(n)
+    vals = np.arange(n, dtype=np.uint32)
+    sk, sv = gst.sort_key_value_by_digits(keys, vals, 8, 8)
+    digits = (keys >> 8) & 0xFF
+    order = np.argsort(digits, kind="stable")
+    np.testing.assert_array_equal(np.asarray(sk), keys[order])
+    np.testing.assert_array_equal(np.asarray(sv), vals[order])
+
+
+def test_invalid_digit_ranges_rejected():
+    keys = _keys(16)
+    for offset, width in [(0, 0), (0, 33), (30, 4), (-1, 4), (32, 1)]:
+        with pytest.raises(ValueError):
+            gst.sort_partial(keys, offset, width, strategy="xla")
+
+
+def test_jit_composability():
+    import jax
+
+    keys = _keys(2048)
+
+    @jax.jit
+    def step(k):
+        s, b = gst.sort_partial(k, 0, 8, strategy="xla")
+        return s, b
+
+    s, b = step(keys)
+    assert checks.check_partial(np.asarray(s), keys, 0, 8)
+    np.testing.assert_array_equal(
+        np.asarray(b), checks.boundaries_oracle(np.asarray(s), 0, 8)
+    )
