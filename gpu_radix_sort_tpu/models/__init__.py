@@ -1,0 +1,5 @@
+from .pipelines import (  # noqa: F401
+    DistributedSortPipeline,
+    FullSortPipeline,
+    PartialSortPipeline,
+)

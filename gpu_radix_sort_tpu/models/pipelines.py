@@ -1,0 +1,92 @@
+"""Flagship execution pipelines.
+
+The framework's "model families" are sort-execution pipelines — the
+counterpart of the reference's driver programs (localTest benchmarks,
+benchmark/pkg/benchmark):
+
+  * :class:`FullSortPipeline`        — single-chip full sort
+    (reference: providedGpu path, invokers.cu:45).
+  * :class:`PartialSortPipeline`     — single-chip partial sort + boundaries
+    (reference: gpuPartial path, invokers.cu:15).
+  * :class:`DistributedSortPipeline` — mesh-wide multi-round sort
+    (reference: SortDistribFromRaw, distrib.go:183).
+
+Each pipeline exposes ``build()`` returning a jitted step function plus
+example inputs, so drivers/benchmarks/compile-checks share one definition.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops import radix_sort
+from ..parallel import distributed
+from ..parallel.mesh import KEY_AXIS, key_mesh
+from ..utils.keygen import Pcg32
+
+
+@dataclass
+class FullSortPipeline:
+    n: int = 1 << 20
+    strategy: str | None = None
+
+    def build(self):
+        strategy = self.strategy
+
+        def step(keys):
+            return radix_sort.sort_full(keys, strategy=strategy)
+
+        example = jnp.asarray(Pcg32().fill(self.n))
+        return jax.jit(step), (example,)
+
+
+@dataclass
+class PartialSortPipeline:
+    n: int = 1 << 20
+    offset: int = 0
+    width: int = 8
+    strategy: str | None = None
+
+    def build(self):
+        offset, width, strategy = self.offset, self.width, self.strategy
+
+        def step(keys):
+            return radix_sort.sort_partial(keys, offset, width, strategy=strategy)
+
+        example = jnp.asarray(Pcg32().fill(self.n))
+        return jax.jit(step), (example,)
+
+
+@dataclass
+class DistributedSortPipeline:
+    """Full training-step analog: all 32/width rounds of the distributed
+    sort with real shardings over the mesh."""
+
+    n_local: int = 1 << 16
+    width: int = 8
+    exchange: str = "alltoall"
+    capacity_factor: float = 1.25
+    strategy: str | None = None
+    mesh: object = None
+
+    def build(self):
+        mesh = self.mesh or key_mesh()
+        fn = distributed.build_distributed_sort(
+            mesh,
+            self.n_local,
+            width=self.width,
+            exchange=self.exchange,
+            capacity_factor=self.capacity_factor,
+            strategy=self.strategy,
+        )
+        n_global = self.n_local * mesh.shape[KEY_AXIS]
+        example = jax.device_put(
+            np.asarray(Pcg32().fill(n_global)),
+            NamedSharding(mesh, P(KEY_AXIS)),
+        )
+        return fn, (example,)

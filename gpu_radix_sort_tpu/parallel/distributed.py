@@ -1,0 +1,150 @@
+"""Distributed radix sort over a device mesh.
+
+Capability mirror of the reference's bulk-synchronous distributed sort
+(benchmark/pkg/sort/distrib.go:90-248: ``nstep = 32/width`` rounds, each
+round = per-worker partial sort + bucket repartition), re-architected for
+SPMD:
+
+  * workers     -> mesh shards (shard_map over axis "x"); nworker is the
+                   mesh size, not a hard-coded 2 (distrib.go:107).
+  * repartition -> ICI all-to-all (parallel/exchange.py) instead of the
+                   STRIDED BucketReader over a shared filesystem.
+  * bucket metadata -> device arrays exchanged by all-gather, not JSON.
+
+After round r the global array (in shard-major linear order) is exactly the
+stable sort by bits [0, (r+1)*width) — the same invariant the reference's
+round loop maintains — so outputs match the reference sort bitwise.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental.shard_map import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.bits import KEY_BITS
+from . import exchange as ex
+from .mesh import KEY_AXIS, key_mesh
+
+_VALID_EXCHANGE = ("auto", "alltoall", "gather")
+
+
+def _round_fn(local_keys, *, offset, width, axis, exchange, capacity, strategy):
+    if exchange == "gather":
+        return ex.exchange_round_gather(
+            local_keys, offset, width, axis, strategy=strategy
+        )
+    return ex.exchange_round_alltoall(
+        local_keys, offset, width, axis, capacity, strategy=strategy
+    )
+
+
+def build_distributed_sort(
+    mesh,
+    n_local: int,
+    *,
+    width: int = 8,
+    exchange: str = "auto",
+    capacity_factor: float = 1.25,
+    strategy: str | None = None,
+    axis: str = KEY_AXIS,
+):
+    """Compile-ready distributed full sort.
+
+    Returns ``fn(keys_sharded) -> (sorted_sharded, overflow_count)`` where
+    keys has global shape (P * n_local,) sharded over ``axis``.  The round
+    loop is the reference's ``nstep = 32/width`` structure
+    (distrib.go:109-176) with the exchange fused into each round.
+    """
+    if KEY_BITS % width:
+        raise ValueError(f"width {width} must divide {KEY_BITS}")
+    if exchange not in _VALID_EXCHANGE:
+        raise ValueError(f"exchange must be one of {_VALID_EXCHANGE}")
+    nchips = mesh.shape[axis]
+    if exchange == "auto":
+        # gather is exact and fastest for small shards; alltoall scales.
+        exchange = "gather" if n_local * nchips <= (1 << 20) else "alltoall"
+    capacity = ex.default_capacity(n_local, nchips, capacity_factor)
+    nsteps = KEY_BITS // width
+
+    def sort_shard(local_keys):
+        overflow = jnp.int32(0)
+        for step in range(nsteps):
+            local_keys, ovf = _round_fn(
+                local_keys,
+                offset=step * width,
+                width=width,
+                axis=axis,
+                exchange=exchange,
+                capacity=capacity,
+                strategy=strategy,
+            )
+            overflow = overflow + ovf.astype(jnp.int32)
+        return local_keys, lax.psum(overflow, axis)
+
+    fn = shard_map(
+        sort_shard,
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=(P(axis), P()),
+    )
+    return jax.jit(fn)
+
+
+class OverflowError_(RuntimeError):
+    pass
+
+
+def sort_distributed(
+    keys,
+    *,
+    mesh=None,
+    width: int = 8,
+    exchange: str = "auto",
+    capacity_factor: float = 1.25,
+    strategy: str | None = None,
+) -> np.ndarray:
+    """Host-facing distributed full sort (reference: SortDistribFromRaw,
+    distrib.go:183-248): pads to the mesh, shards, runs 32/width rounds,
+    returns the linearized sorted uint32 array.
+
+    Raises if the capacity-bounded exchange overflowed (use a larger
+    ``capacity_factor``, the ``"gather"`` exchange, or splitter-balanced
+    partitioning for heavily skewed data).
+    """
+    mesh = mesh or key_mesh()
+    nchips = mesh.shape[KEY_AXIS]
+    keys = np.asarray(keys, dtype=np.uint32)
+    n = keys.size
+    n_local = max(-(-n // nchips), 1)
+    n_pad = n_local * nchips
+    if n_pad * 1 >= (1 << 31) and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "global size >= 2^31 requires jax_enable_x64 for destination "
+            "index math; call jax.config.update('jax_enable_x64', True)"
+        )
+    padded = np.full(n_pad, 0xFFFFFFFF, dtype=np.uint32)
+    padded[:n] = keys
+
+    sharding = NamedSharding(mesh, P(KEY_AXIS))
+    dev_keys = jax.device_put(padded, sharding)
+    fn = build_distributed_sort(
+        mesh,
+        n_local,
+        width=width,
+        exchange=exchange,
+        capacity_factor=capacity_factor,
+        strategy=strategy,
+    )
+    out, overflow = fn(dev_keys)
+    if int(overflow) > 0:
+        raise OverflowError_(
+            f"all-to-all capacity overflowed in {int(overflow)} round-chips; "
+            "increase capacity_factor or use exchange='gather'"
+        )
+    return np.asarray(jax.device_get(out))[:n]

@@ -1,0 +1,104 @@
+"""Distributed sort over the 8-device virtual CPU mesh.
+
+Validates both exchange strategies against the CPU oracle at widths 8 and
+16 (the reference's benchmark configs, benchmark.go:139-156) on odd sizes,
+plus the round invariant and overflow detection.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from gpu_radix_sort_tpu.parallel import exchange as ex
+from gpu_radix_sort_tpu.parallel import distributed, key_mesh
+from gpu_radix_sort_tpu.utils.keygen import Pcg32
+
+
+def _mesh():
+    return key_mesh(jax.devices("cpu"))
+
+
+@pytest.mark.parametrize("exchange", ["gather", "alltoall"])
+@pytest.mark.parametrize("width", [8, 16])
+@pytest.mark.parametrize("n", [1111, 4099, 1 << 15])
+def test_sort_distributed_exact(exchange, width, n):
+    keys = Pcg32().fill(n)
+    out = distributed.sort_distributed(
+        keys, mesh=_mesh(), width=width, exchange=exchange
+    )
+    np.testing.assert_array_equal(out, np.sort(keys))
+
+
+@pytest.mark.parametrize("exchange", ["gather", "alltoall"])
+def test_round_invariant(exchange):
+    """After round r the global array is stably sorted by bits
+    [0, (r+1)*width) — the reference's loop invariant (distrib.go:119)."""
+    mesh = _mesh()
+    width = 8
+    n = 1 << 13
+    keys = Pcg32().fill(n)
+    n_local = n // 8
+
+    sharding = NamedSharding(mesh, P("x"))
+    dev = jax.device_put(keys, sharding)
+    capacity = ex.default_capacity(n_local, 8, 1.25)
+
+    state = dev
+    for step in range(2):
+        def round_(local):
+            out, ovf = distributed._round_fn(
+                local,
+                offset=step * width,
+                width=width,
+                axis="x",
+                exchange=exchange,
+                capacity=capacity,
+                strategy="xla",
+            )
+            return out, jax.lax.psum(ovf.astype(jnp.int32), "x")
+
+        fn = shard_map(round_, mesh=mesh, in_specs=P("x"), out_specs=(P("x"), P()))
+        state, ovf = jax.jit(fn)(state)
+        assert not bool(np.any(np.asarray(ovf)))
+        got = np.asarray(jax.device_get(state))
+        bits = (step + 1) * width
+        digits = keys & ((1 << bits) - 1)
+        want = keys[np.argsort(digits, kind="stable")]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_overflow_detected():
+    # All keys identical -> every element targets one chip's range window;
+    # with capacity ~n/P the alltoall must overflow and report it.
+    n = 1 << 12
+    keys = np.full(n, 7, dtype=np.uint32)
+    with pytest.raises(distributed.OverflowError_):
+        distributed.sort_distributed(
+            keys, mesh=_mesh(), width=8, exchange="alltoall", capacity_factor=1.0
+        )
+    # gather strategy handles it exactly.
+    out = distributed.sort_distributed(keys, mesh=_mesh(), width=8, exchange="gather")
+    np.testing.assert_array_equal(out, keys)
+
+
+def test_skewed_data_gather_exact():
+    from gpu_radix_sort_tpu.utils.keygen import generate_zipf_keys
+
+    keys = generate_zipf_keys(1 << 14, alpha=1.05, seed=9)
+    out = distributed.sort_distributed(keys, mesh=_mesh(), width=8, exchange="gather")
+    np.testing.assert_array_equal(out, np.sort(keys))
+
+
+def test_nondivisible_sizes_padded():
+    for n in (1, 7, 8, 9, 1023):
+        keys = Pcg32().fill(n)
+        out = distributed.sort_distributed(keys, mesh=_mesh(), width=8)
+        np.testing.assert_array_equal(out, np.sort(keys))
+
+
+def test_invalid_width_rejected():
+    with pytest.raises(ValueError):
+        distributed.sort_distributed(Pcg32().fill(64), mesh=_mesh(), width=5)
