@@ -64,11 +64,14 @@ class PartialSortPipeline:
 
 @dataclass
 class DistributedSortPipeline:
-    """Full training-step analog: all 32/width rounds of the distributed
-    sort with real shardings over the mesh."""
+    """Full training-step analog: the distributed sort with real shardings
+    over the mesh.  ``algorithm``: "lsd" = reference-parity 32/width radix
+    rounds; "sample" = PSRS performance mode (one local sort + one
+    splitter exchange)."""
 
     n_local: int = 1 << 16
     width: int = 8
+    algorithm: str = "lsd"
     exchange: str = "alltoall"
     capacity_factor: float = 1.25
     strategy: str | None = None
@@ -76,14 +79,21 @@ class DistributedSortPipeline:
 
     def build(self):
         mesh = self.mesh or key_mesh()
-        fn = distributed.build_distributed_sort(
-            mesh,
-            self.n_local,
-            width=self.width,
-            exchange=self.exchange,
-            capacity_factor=self.capacity_factor,
-            strategy=self.strategy,
-        )
+        if self.algorithm == "sample":
+            from ..parallel import sample_sort
+
+            fn, _ = sample_sort.build_sample_sort(
+                mesh, self.n_local, capacity_factor=max(self.capacity_factor, 1.5)
+            )
+        else:
+            fn = distributed.build_distributed_sort(
+                mesh,
+                self.n_local,
+                width=self.width,
+                exchange=self.exchange,
+                capacity_factor=self.capacity_factor,
+                strategy=self.strategy,
+            )
         n_global = self.n_local * mesh.shape[KEY_AXIS]
         example = jax.device_put(
             np.asarray(Pcg32().fill(n_global)),

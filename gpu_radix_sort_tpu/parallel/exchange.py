@@ -36,8 +36,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.bits import KEY_DTYPE, digit_mask, extract_digits
-from ..ops.boundaries import digit_counts
+from ..ops.bits import KEY_DTYPE, extract_digits
+from ..ops.boundaries import digit_counts_sorted
 from ..ops.radix_sort import sort_by_digits
 
 PAD_KEY = jnp.uint32(0xFFFFFFFF)
@@ -58,28 +58,23 @@ def default_capacity(n_local: int, nchips: int, capacity_factor: float) -> int:
     return min(n_local, cap)
 
 
-def _destination_meta(all_counts: jnp.ndarray, my: jnp.ndarray, n_local: int):
-    """Per-digit global start positions for this chip's runs.
-
-    all_counts: (P, D) int32 per-chip digit counts (chip order = global
-    linear order of shards).  Returns s where s[d] = global destination
-    index of this chip's first element with digit d.
-    """
-    counts64 = all_counts.astype(_pos_dtype())
-    totals = counts64.sum(axis=0)  # (D,)
-    base = jnp.cumsum(totals) - totals  # exclusive scan: global digit starts
-    off_chips = jnp.cumsum(counts64, axis=0) - counts64  # (P, D) excl. over chips
-    my_off = off_chips[my]  # (D,)
-    return base + my_off
+def _run_starts_global(all_counts: jnp.ndarray):
+    """S[i, d] = global destination index of chip i's first element with
+    digit d, given all_counts (P, D) in chip order.  (P, D) metadata math."""
+    counts = all_counts.astype(_pos_dtype())
+    totals = counts.sum(axis=0)  # (D,)
+    base = jnp.cumsum(totals) - totals  # global digit starts
+    off_chips = jnp.cumsum(counts, axis=0) - counts  # exclusive over chips
+    return base[None, :] + off_chips  # (P, D)
 
 
-def _local_ranks(digits: jnp.ndarray, width: int) -> jnp.ndarray:
-    """r[e] = rank of element e within its digit run, for digit-sorted
-    input: e - start_of_run = e - excl_cumsum(counts)[digit[e]]."""
-    d_counts = jnp.bincount(digits, length=1 << width)
-    starts = jnp.cumsum(d_counts) - d_counts
-    idx = jnp.arange(digits.shape[0], dtype=jnp.int32)
-    return idx - starts[digits].astype(jnp.int32)
+def _slice_counts(S: jnp.ndarray, counts: jnp.ndarray, bound):
+    """Number of elements with destination < bound, per digit run:
+    sum_d clip(bound - S[d], 0, counts[d]).  Closed form — avoids
+    materializing per-element destination indices."""
+    return jnp.sum(
+        jnp.clip(bound - S, 0, counts.astype(_pos_dtype()))
+    ).astype(jnp.int32)
 
 
 def exchange_round_alltoall(
@@ -93,50 +88,68 @@ def exchange_round_alltoall(
 ):
     """One distributed digit round over mesh axis ``axis`` (inside
     shard_map).  Returns (new_local_keys, overflowed: bool scalar).
-    Requires n_global < 2^31 unless jax_enable_x64 is set (destination
-    indices are computed in int64)."""
+
+    Entirely scatter/gather-free on the per-element path (XLA
+    gather/scatter run at ~100M elem/s on TPU — docs/PERF_NOTES.md):
+    metadata is (P, D) closed-form math, send buffers are P dynamic
+    slices, reassembly is one stable kv-sort.  Requires n_global < 2^31
+    unless jax_enable_x64 is set.
+    """
     n_local = local_keys.shape[0]
     P_ = lax.axis_size(axis)
     my = lax.axis_index(axis)
+    D = 1 << width
+    pos_t = _pos_dtype()
 
-    counts = digit_counts(local_keys, offset, width)  # (D,) int32
     sorted_local = sort_by_digits(local_keys, offset, width, strategy=strategy)
-    digits = extract_digits(sorted_local, offset, width)
+    counts = digit_counts_sorted(sorted_local, offset, width)  # (D,) int32
 
     all_counts = lax.all_gather(counts, axis)  # (P, D)
-    pos_t = _pos_dtype()
-    s_d = _destination_meta(all_counts, my, n_local)  # (D,)
-    r = _local_ranks(digits, width)  # (n,) int32
-    g = s_d[digits] + r.astype(pos_t)  # strictly increasing
+    S_all = _run_starts_global(all_counts)  # (P, D) global run starts
+    S_my = S_all[my]
 
-    # Send slice boundaries: first local index destined to chip c.
-    chip_starts = jnp.arange(P_ + 1, dtype=pos_t) * pos_t(n_local)
-    send_start = jnp.searchsorted(g, chip_starts[:-1], side="left").astype(
-        jnp.int32
-    )
-    send_end = jnp.searchsorted(g, chip_starts[1:], side="left").astype(jnp.int32)
-    send_count = send_end - send_start
+    # Send slice boundaries: first local index destined to chip c
+    # (destinations are monotone along the digit-sorted shard).
+    chip_bounds = jnp.arange(P_ + 1, dtype=pos_t) * pos_t(n_local)
+    send_bounds = jax.vmap(
+        lambda b: _slice_counts(S_my, counts, b)
+    )(chip_bounds)  # (P+1,)
+    send_count = send_bounds[1:] - send_bounds[:-1]
     overflowed = jnp.any(send_count > capacity)
 
-    # Build (P, capacity) send buffer by slicing the locally sorted shard.
-    k = jax.lax.broadcasted_iota(jnp.int32, (P_, capacity), 1)
-    src_idx = jnp.minimum(send_start[:, None] + k, n_local - 1)
-    valid = k < send_count[:, None]
-    send_keys = jnp.where(valid, sorted_local[src_idx], PAD_KEY)
-    # Padding carries digit sentinel D so it sorts after all real digits.
-    send_digits = jnp.where(
-        valid, digits[src_idx], jnp.uint32(1 << width)
+    # (P, capacity) send buffer: one dynamic slice per destination chip.
+    # Pad the shard tail so fixed-size slices never run out of bounds.
+    padded = jnp.concatenate(
+        [sorted_local, jnp.full((capacity,), PAD_KEY, KEY_DTYPE)]
     )
+    send_rows = [
+        lax.dynamic_slice(padded, (send_bounds[c],), (capacity,))
+        for c in range(P_)
+    ]
+    send_keys = jnp.stack(send_rows)  # (P, C)
 
     recv_keys = lax.all_to_all(send_keys, axis, 0, 0, tiled=False)
-    recv_digits = lax.all_to_all(send_digits, axis, 0, 0, tiled=False)
 
-    # Reassembly: receive order is (src chip, local order) = (i, (d, r));
-    # a stable sort by digit yields (d, i, r) — exactly global destination
-    # order restricted to my range.  Valid count == n_local by construction.
-    flat_digits = recv_digits.reshape(-1)
-    flat_keys = recv_keys.reshape(-1)
-    _, reassembled = lax.sort_key_val(flat_digits, flat_keys, is_stable=True)
+    # Valid counts per received chunk, from metadata alone:
+    # recv_count[i] = |{elements of chip i with dest in my range}|.
+    lo = pos_t(n_local) * my.astype(pos_t)
+    hi = lo + pos_t(n_local)
+    recv_count = jax.vmap(
+        lambda S_i, c_i: _slice_counts(S_i, c_i, hi)
+        - _slice_counts(S_i, c_i, lo)
+    )(S_all, all_counts)  # (P,)
+
+    # Reassembly: receive order is (src chip, run order) = (i, (d, r)); a
+    # stable sort by digit yields (d, i, r) — global destination order
+    # restricted to my range.  Padding gets sentinel digit D, sorts last;
+    # valid total == n_local by construction.
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (P_, capacity), 1)
+    valid = k_iota < recv_count[:, None]
+    recv_digits = extract_digits(recv_keys, offset, width)
+    recv_digits = jnp.where(valid, recv_digits, jnp.uint32(D))
+    _, reassembled = lax.sort_key_val(
+        recv_digits.reshape(-1), recv_keys.reshape(-1), is_stable=True
+    )
     return reassembled[:n_local], overflowed
 
 

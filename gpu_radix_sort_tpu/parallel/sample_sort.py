@@ -1,0 +1,154 @@
+"""Distributed sample sort (PSRS) — the performance-mode distributed sort.
+
+The reference's distributed algorithm is LSD radix with 32/width bulk-
+synchronous rounds (benchmark/pkg/sort/distrib.go:109); each round costs a
+full local sort plus a full-data exchange.  On TPU the local sort dominates
+(XLA sort is comparison-based, so digit width doesn't reduce its cost —
+docs/PERF_NOTES.md), which makes Parallel Sorting by Regular Sampling the
+right architecture: ONE local sort, ONE splitter-partitioned all-to-all,
+ONE local merge — ~4x less sort work than the width-8 LSD structure, with
+sampled splitters bounding partition skew (the BASELINE.json requirement).
+
+Phases (inside shard_map over mesh axis "x"):
+  1. local full sort;
+  2. regular sampling: P local quantiles, all-gathered, re-sorted; global
+     quantiles of the P*P candidates become the P-1 splitters (classic PSRS
+     guarantee: no partition exceeds ~2 n/P for distinct keys);
+  3. splitter boundaries via searchsorted on the sorted shard -> P
+     contiguous slices; capacity-bounded all_to_all (overflow detected,
+     never silent — duplicates concentrated on one splitter can exceed any
+     fixed capacity, callers fall back to the exact gather exchange);
+  4. reassembly: sort of the received padded buffer (pads carry the max
+     key and are truncated by the valid count).
+
+Output shards are ragged (counts returned per chip); the host wrapper
+linearizes exactly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental.shard_map import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.bits import KEY_DTYPE
+from .exchange import PAD_KEY
+from .mesh import KEY_AXIS, key_mesh
+
+
+def default_pair_capacity(n_local: int, nchips: int, capacity_factor: float) -> int:
+    """Capacity of one (src chip -> dst chip) transfer slot."""
+    if nchips == 1:
+        return n_local
+    expected = -(-n_local // nchips)
+    return min(n_local, int(expected * capacity_factor) + 64)
+
+
+def _sample_sort_shard(local_keys, *, axis, capacity):
+    P_ = lax.axis_size(axis)
+    my = lax.axis_index(axis)
+    n = local_keys.shape[0]
+
+    s = jnp.sort(local_keys.astype(KEY_DTYPE))
+
+    # Regular sampling: P evenly spaced local quantiles.
+    stride = max(n // P_, 1)
+    sample_pos = jnp.arange(P_, dtype=jnp.int32) * stride
+    samples = s[sample_pos]  # (P,)
+    cand = jnp.sort(lax.all_gather(samples, axis).reshape(-1))  # (P*P,)
+    splitters = cand[jnp.arange(1, P_, dtype=jnp.int32) * P_]  # (P-1,)
+
+    bounds = jnp.searchsorted(s, splitters, side="left").astype(jnp.int32)
+    send_bounds = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), bounds, jnp.full(1, n, jnp.int32)]
+    )  # (P+1,)
+    send_count = send_bounds[1:] - send_bounds[:-1]
+    overflowed = jnp.any(send_count > capacity)
+
+    padded = jnp.concatenate([s, jnp.full((capacity,), PAD_KEY, KEY_DTYPE)])
+    send_keys = jnp.stack(
+        [
+            lax.dynamic_slice(padded, (send_bounds[c],), (capacity,))
+            for c in range(P_)
+        ]
+    )  # (P, C) — rows unmasked; receiver masks by exact counts.
+
+    counts_mat = lax.all_gather(send_count, axis)  # (P, P): [i, c] = i -> c
+    recv_count = counts_mat[:, my]  # (P,)
+
+    recv = lax.all_to_all(send_keys, axis, 0, 0, tiled=False)
+    k_iota = lax.broadcasted_iota(jnp.int32, (P_, capacity), 1)
+    masked = jnp.where(k_iota < recv_count[:, None], recv, PAD_KEY)
+    merged = jnp.sort(masked.reshape(-1))  # pads (max key) sort last
+    total = recv_count.sum().astype(jnp.int32)
+    return merged, total[None], lax.psum(overflowed.astype(jnp.int32), axis)
+
+
+def build_sample_sort(
+    mesh,
+    n_local: int,
+    *,
+    capacity_factor: float = 1.5,
+    axis: str = KEY_AXIS,
+):
+    """Compile-ready distributed sample sort over ``axis``.
+
+    Returns ``fn(keys) -> (padded_shards, shard_counts, overflow)`` where
+    keys has global shape (P*n_local,) sharded over ``axis``; padded_shards
+    has global shape (P * P * C,) (per-chip sorted buffer incl. padding),
+    shard_counts (P,) gives each chip's valid prefix length.
+    """
+    nchips = mesh.shape[axis]
+    capacity = default_pair_capacity(n_local, nchips, capacity_factor)
+
+    fn = shard_map(
+        lambda k: _sample_sort_shard(k, axis=axis, capacity=capacity),
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=(P(axis), P(axis), P()),
+    )
+    return jax.jit(fn), capacity
+
+
+def sort_distributed_sample(
+    keys,
+    *,
+    mesh=None,
+    capacity_factor: float = 1.5,
+) -> np.ndarray:
+    """Host-facing distributed sample sort: pads, shards, runs PSRS,
+    linearizes the ragged sorted shards exactly.
+
+    Raises on capacity overflow (extremely duplicate-heavy distributions);
+    callers can retry with a larger ``capacity_factor`` or use the LSD
+    ``sort_distributed(..., exchange="gather")`` path.
+    """
+    from .distributed import OverflowError_
+
+    mesh = mesh or key_mesh()
+    nchips = mesh.shape[KEY_AXIS]
+    keys = np.asarray(keys, dtype=np.uint32)
+    n = keys.size
+    n_local = max(-(-n // nchips), nchips)  # >= P for regular sampling
+    n_pad = n_local * nchips
+    padded = np.full(n_pad, 0xFFFFFFFF, dtype=np.uint32)
+    padded[:n] = keys
+
+    dev = jax.device_put(padded, NamedSharding(mesh, P(KEY_AXIS)))
+    fn, capacity = build_sample_sort(
+        mesh, n_local, capacity_factor=capacity_factor
+    )
+    shards, counts, overflow = fn(dev)
+    if int(overflow) > 0:
+        raise OverflowError_(
+            "sample-sort pair capacity overflowed; increase capacity_factor "
+            "or use the gather exchange for duplicate-heavy data"
+        )
+    shards = np.asarray(jax.device_get(shards)).reshape(nchips, -1)
+    counts = np.asarray(jax.device_get(counts)).reshape(-1)
+    out = np.concatenate([shards[i, : counts[i]] for i in range(nchips)])
+    assert out.size == n_pad, (out.size, n_pad)
+    return out[:n]
