@@ -1,0 +1,225 @@
+"""Device-resident backend for DistribArray.
+
+No reference equivalent — the GPU reference always round-trips bucket data
+through host storage (mem.go / file.go) between rounds, paying H2D/D2H each
+round (~46% of its partial-sort GPU time, SURVEY.md §3).  On TPU the natural
+home for hot intermediate buckets is HBM: this backend keeps each partition
+as a device-resident uint8 ``jax.Array`` so the storage-mediated
+orchestration path (parallel/storage_sort.py) can run rounds without pulling
+key payloads back to host until the final linearization.
+
+Semantics match the other backends (append-only fixed-cap partitions,
+single writer, commit on close); appends stage in a host buffer and are
+flushed to device on ``close()`` (one transfer per partition, not per
+write).  Readers slice on device and materialize bytes only when ``read``
+is called; ``device_slice`` exposes the zero-copy device view for consumers
+that stay on device.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+
+from .interface import (
+    ArrayFactory,
+    CapacityError,
+    DistribArray,
+    DistribArrayShape,
+    PartReader,
+    PartWriter,
+)
+
+
+class _DevicePartReader(PartReader):
+    def __init__(self, dev_part, start: int, nbyte: int):
+        self._dev = dev_part
+        self._pos = start
+        self._end = start + nbyte
+
+    def read(self, n: int = -1) -> bytes:
+        import jax
+
+        avail = self._end - self._pos
+        if n is None or n < 0 or n > avail:
+            n = avail
+        if n == 0:
+            return b""
+        chunk = jax.device_get(self._dev[self._pos : self._pos + n])
+        self._pos += n
+        return np.asarray(chunk, dtype=np.uint8).tobytes()
+
+
+class _DevicePartWriter(PartWriter):
+    def __init__(self, arr: "DeviceDistribArray", part_idx: int):
+        self._arr = arr
+        self._idx = part_idx
+
+    def write(self, data: bytes) -> int:
+        return self._arr._append(self._idx, data)
+
+
+class DeviceDistribArray(DistribArray):
+    def __init__(self, name: str, shape: DistribArrayShape, device=None):
+        import jax
+
+        self._name = name
+        self._caps = shape.caps
+        self._device = device or jax.devices()[0]
+        self._dev_parts: list = [None] * shape.npart  # committed device data
+        self._lens = [0] * shape.npart  # committed lengths
+        self._pending: list[bytearray] = [bytearray() for _ in range(shape.npart)]
+        self._lock = threading.Lock()
+        self._destroyed = False
+
+    @property
+    def name(self) -> str:
+        return self._name
+
+    def _check_alive(self) -> None:
+        if self._destroyed:
+            raise IOError(f"array {self._name!r} has been destroyed")
+
+    def _append(self, idx: int, data: bytes) -> int:
+        with self._lock:
+            self._check_alive()
+            total = self._lens[idx] + len(self._pending[idx]) + len(data)
+            if total > self._caps[idx]:
+                raise CapacityError(
+                    f"{self._name}[{idx}]: write of {len(data)} bytes exceeds "
+                    f"cap {self._caps[idx]}"
+                )
+            self._pending[idx].extend(data)
+            return len(data)
+
+    def put_device_part(self, idx: int, dev_array) -> None:
+        """Commit an already-on-device uint8 array as partition ``idx``'s
+        content directly — the zero-host-copy write path for producers whose
+        output is already in HBM (e.g. a jitted partial sort)."""
+        import jax.numpy as jnp
+
+        with self._lock:
+            self._check_alive()
+            if self._lens[idx] or self._pending[idx]:
+                raise IOError(f"{self._name}[{idx}]: partition already written")
+            if dev_array.dtype != jnp.uint8 or dev_array.ndim != 1:
+                raise ValueError("device part must be a 1-D uint8 array")
+            if dev_array.shape[0] > self._caps[idx]:
+                raise CapacityError(
+                    f"{self._name}[{idx}]: {dev_array.shape[0]} bytes exceeds "
+                    f"cap {self._caps[idx]}"
+                )
+            self._dev_parts[idx] = dev_array
+            self._lens[idx] = int(dev_array.shape[0])
+
+    def device_slice(self, idx: int):
+        """The committed device array for a partition (uint8[len])."""
+        with self._lock:
+            self._check_alive()
+            return self._dev_parts[idx]
+
+    def _flush(self) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        for idx in range(len(self._caps)):
+            pend = self._pending[idx]
+            if not pend:
+                continue
+            host = np.frombuffer(bytes(pend), dtype=np.uint8)
+            new = jax.device_put(host, self._device)
+            old = self._dev_parts[idx]
+            if old is not None:
+                new = jnp.concatenate([old, new])
+            self._dev_parts[idx] = new
+            self._lens[idx] += len(pend)
+            self._pending[idx] = bytearray()
+
+    def get_shape(self) -> DistribArrayShape:
+        with self._lock:
+            self._check_alive()
+            return DistribArrayShape(list(self._lens), self._caps)
+
+    def get_part_reader(self, part_idx: int) -> PartReader:
+        with self._lock:
+            self._check_alive()
+            dev = self._dev_parts[part_idx]
+            ln = self._lens[part_idx]
+        if dev is None:
+            return _EmptyReader()
+        return _DevicePartReader(dev, 0, ln)
+
+    def get_part_range_reader(self, part_idx, start, end) -> PartReader:
+        with self._lock:
+            self._check_alive()
+            dev = self._dev_parts[part_idx]
+            ln = self._lens[part_idx]
+        if end <= 0:
+            end = ln + end
+        if start < 0 or end < start or end > ln:
+            raise ValueError(
+                f"{self._name}[{part_idx}]: range [{start}, {end}) out of "
+                f"committed len {ln}"
+            )
+        if dev is None:
+            return _EmptyReader()
+        return _DevicePartReader(dev, start, end - start)
+
+    def get_part_writer(self, part_idx: int) -> PartWriter:
+        self._check_alive()
+        return _DevicePartWriter(self, part_idx)
+
+    def close(self) -> None:
+        with self._lock:
+            self._check_alive()
+            self._flush()
+
+    def destroy(self) -> None:
+        with self._lock:
+            self._destroyed = True
+            self._dev_parts = []
+            self._pending = []
+        self._on_destroy()
+
+    def _on_destroy(self) -> None:  # wired by the factory
+        pass
+
+
+class _EmptyReader(PartReader):
+    def read(self, n: int = -1) -> bytes:
+        return b""
+
+
+class DeviceArrayFactory(ArrayFactory):
+    """Factory keeping partitions in device HBM; registry-based open-by-name
+    like the memory backend."""
+
+    def __init__(self, device=None, registry: dict | None = None):
+        self._device = device
+        self._registry: dict[str, DeviceDistribArray] = (
+            registry if registry is not None else {}
+        )
+        self._lock = threading.Lock()
+
+    def create(self, name: str, shape: DistribArrayShape) -> DistribArray:
+        arr = DeviceDistribArray(name, shape, device=self._device)
+        with self._lock:
+            if name in self._registry:
+                raise FileExistsError(f"device array {name!r} already exists")
+            self._registry[name] = arr
+
+        def _on_destroy(reg=self._registry, lock=self._lock, nm=name, a=arr):
+            with lock:
+                if reg.get(nm) is a:
+                    del reg[nm]
+
+        arr._on_destroy = _on_destroy
+        return arr
+
+    def open(self, name: str) -> DistribArray:
+        with self._lock:
+            try:
+                return self._registry[name]
+            except KeyError:
+                raise FileNotFoundError(f"no device array named {name!r}") from None
