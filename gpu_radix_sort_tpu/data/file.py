@@ -197,3 +197,8 @@ class FileArrayFactory(ArrayFactory):
 
     def open(self, name: str) -> DistribArray:
         return FileDistribArray.open_existing(self.root, name)
+
+    def destroy_named(self, name: str) -> None:
+        # Robust to half-created arrays (directory without meta.json), which
+        # open() would reject — crash cleanup must still remove them.
+        shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)

@@ -244,6 +244,15 @@ class ArrayFactory(abc.ABC):
     @abc.abstractmethod
     def open(self, name: str) -> DistribArray: ...
 
+    def destroy_named(self, name: str) -> None:
+        """Destroy an array by name if it exists (idempotent) — used by
+        checkpoint/resume to clear partial outputs of a crashed round.
+        Backends override when storage can be left half-created."""
+        try:
+            self.open(name).destroy()
+        except FileNotFoundError:
+            pass
+
 
 def iter_refs_bytes(refs: Sequence[PartRef]) -> Iterator[bytes]:
     for ref in refs:
