@@ -1,0 +1,66 @@
+"""Worker process entry: one sort-round event per invocation.
+
+Reference analog: faasTest/f.py's ``directInvoke`` mode (f.py:147-182) —
+read the event JSON from stdin, mount the shared file-array root from the
+environment, run the handler, answer ``{"success": bool, "err": str}`` on
+stdout.  Optional per-invocation cProfile dumps (reference: f.py:24-36
+writes faas*.csv/.prof per step) are enabled by GRS_PROFILE_DIR.
+
+Run as ``python -m gpu_radix_sort_tpu.parallel.worker_main``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def main() -> int:
+    try:
+        event = json.load(sys.stdin)
+    except json.JSONDecodeError as e:
+        print(json.dumps({"success": False, "err": f"bad event JSON: {e}"}))
+        return 1
+
+    mount = os.environ.get("GRS_TPU_MOUNT")
+    if not mount:
+        print(json.dumps({"success": False, "err": "GRS_TPU_MOUNT not set"}))
+        return 1
+
+    profile_dir = os.environ.get("GRS_PROFILE_DIR")
+    profiler = None
+    if profile_dir:
+        import cProfile
+
+        profiler = cProfile.Profile()
+        profiler.enable()
+
+    try:
+        from ..data.file import FileArrayFactory
+        from .serverless import handle_event
+
+        handle_event(event, FileArrayFactory(mount))
+        response = {"success": True, "err": ""}
+    except Exception as e:  # noqa: BLE001 - worker boundary reports all errors
+        response = {"success": False, "err": f"{type(e).__name__}: {e}"}
+
+    if profiler is not None:
+        profiler.disable()
+        os.makedirs(profile_dir, exist_ok=True)
+        tag = f"worker_{event.get('output', 'unknown')}_{os.getpid()}"
+        profiler.dump_stats(os.path.join(profile_dir, f"{tag}.prof"))
+        import io
+        import pstats
+
+        buf = io.StringIO()
+        pstats.Stats(profiler, stream=buf).sort_stats("cumulative").print_stats(30)
+        with open(os.path.join(profile_dir, f"{tag}.txt"), "w") as f:
+            f.write(buf.getvalue())
+
+    print(json.dumps(response))
+    return 0  # handler errors are reported in-band; nonzero = process failure
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -8,7 +8,11 @@ before jax initializes, hence this lives at conftest import time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override, not setdefault: the environment pins JAX_PLATFORMS to the
+# TPU plugin and a site hook registers it in every interpreter — tests must
+# run on the virtual CPU mesh regardless.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
