@@ -1,0 +1,354 @@
+"""Benchmark harness: timed runs of every execution path, with stats.
+
+Reference analog: benchmark/pkg/benchmark (RunBenchmarks / BenchFaasAll /
+ReportStats, benchmark.go + util.go) and the C++ localTest benches
+(benchmarks.cpp).  Produces structured records (JSON-able dicts) rather than
+printf, and knows the tunneled-TPU timing pitfalls (docs/PERF_NOTES.md):
+warmup compile excluded, queued-transfer drain via a tiny readback, median
+over reps.
+
+Three tiers mirror the reference's profiling stack (SURVEY.md §5):
+  * per-op device timing here (nvprof analog),
+  * optional jax.profiler traces via ``trace_dir`` (cudaProfilerStart/Stop
+    analog, invokers.cu:73-85),
+  * per-phase SortStats from the storage path (cProfile-per-worker analog).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import statistics
+import time
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+
+from ..utils.config import SortConfig
+from ..utils.keygen import Pcg32, generate_payloads, generate_zipf_keys
+from ..utils.timers import SortStats
+
+
+@dataclass
+class BenchRecord:
+    name: str
+    n: int
+    reps: int
+    median_s: float
+    mean_s: float
+    stdev_s: float
+    rate_per_s: float
+    unit: str = "keys/s"
+    extra: dict = field(default_factory=dict)
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    def line(self) -> str:
+        return (
+            f"{self.name:<34} n={self.n:>12,} median={self.median_s * 1e3:9.2f}ms "
+            f"rate={self.rate_per_s / 1e6:9.1f}M {self.unit} "
+            f"(±{self.stdev_s * 1e3:.2f}ms, {self.reps} reps)"
+        )
+
+
+def _drain(out) -> None:
+    """Force a true device drain: block_until_ready can return while queued
+    host->device transfers are still in flight on the tunneled runtime;
+    a 1-element readback serializes behind everything."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(out)
+    if leaves:
+        leaf = leaves[0]
+        np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
+
+
+def device_time(fn, args, *, reps: int = 5, warmup: int = 1):
+    """(median_s, mean_s, stdev_s, last_out) of fn(*args) on device."""
+    import jax
+
+    out = None
+    for _ in range(max(warmup, 1)):
+        out = jax.block_until_ready(fn(*args))
+    _drain(out)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    _drain(out)
+    return (
+        statistics.median(times),
+        statistics.fmean(times),
+        statistics.stdev(times) if len(times) > 1 else 0.0,
+        out,
+    )
+
+
+@contextlib.contextmanager
+def maybe_trace(trace_dir: str | None):
+    """jax.profiler region (the reference's region-scoped nvprof,
+    invokers.cu:73-85 + profile.sh)."""
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(trace_dir):
+        yield
+
+
+def _record(name, n, reps, med, mean, sd, unit="keys/s", **extra) -> BenchRecord:
+    return BenchRecord(
+        name=name, n=n, reps=reps, median_s=med, mean_s=mean, stdev_s=sd,
+        rate_per_s=n / med if med > 0 else 0.0, unit=unit, extra=extra,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Single-chip benches
+# ---------------------------------------------------------------------------
+
+def bench_full_sort(n: int, *, strategy=None, reps=5, trace_dir=None) -> BenchRecord:
+    import jax
+
+    from ..ops.radix_sort import sort_full
+
+    keys = jax.device_put(Pcg32().fill(n))
+    fn = jax.jit(lambda k: sort_full(k, strategy=strategy))
+    with maybe_trace(trace_dir):
+        med, mean, sd, _ = device_time(fn, (keys,), reps=reps)
+    return _record("full_sort_u32", n, reps, med, mean, sd,
+                   strategy=strategy or "auto")
+
+
+def bench_partial_sort(
+    n: int, *, offset=0, width=8, strategy=None, reps=5, trace_dir=None
+) -> BenchRecord:
+    import jax
+
+    from ..ops.radix_sort import sort_partial
+
+    keys = jax.device_put(Pcg32().fill(n))
+    fn = jax.jit(
+        lambda k: sort_partial(k, offset, width, strategy=strategy)
+    )
+    with maybe_trace(trace_dir):
+        med, mean, sd, _ = device_time(fn, (keys,), reps=reps)
+    return _record(f"partial_sort_u32_w{width}", n, reps, med, mean, sd,
+                   offset=offset, width=width)
+
+
+def bench_key_value_sort(
+    n: int, *, payload_bytes=8, reps=3, trace_dir=None
+) -> BenchRecord:
+    import jax
+
+    from ..ops.radix_sort import sort_key_value
+
+    keys = jax.device_put(Pcg32().fill(n))
+    values = jax.device_put(generate_payloads(n, payload_bytes=payload_bytes))
+    fn = jax.jit(sort_key_value)
+    with maybe_trace(trace_dir):
+        med, mean, sd, _ = device_time(fn, (keys, values), reps=reps)
+    return _record(f"kv_sort_u32_p{payload_bytes}B", n, reps, med, mean, sd,
+                   unit="rows/s", payload_bytes=payload_bytes)
+
+
+def bench_keygen(n: int, *, reps=5) -> BenchRecord:
+    gen = Pcg32()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        gen.fill(n)
+        times.append(time.perf_counter() - t0)
+    med = statistics.median(times)
+    return _record("keygen_pcg32", n, reps, med, statistics.fmean(times),
+                   statistics.stdev(times) if reps > 1 else 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Mesh-path benches (device collectives)
+# ---------------------------------------------------------------------------
+
+def bench_mesh_lsd(
+    n_local: int, *, width=8, exchange="alltoall", reps=3, mesh=None,
+    trace_dir=None,
+) -> BenchRecord:
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.distributed import build_distributed_sort
+    from ..parallel.mesh import KEY_AXIS, key_mesh
+
+    mesh = mesh or key_mesh()
+    nchips = mesh.shape[KEY_AXIS]
+    n = n_local * nchips
+    keys = jax.device_put(Pcg32().fill(n), NamedSharding(mesh, P(KEY_AXIS)))
+    fn = build_distributed_sort(mesh, n_local, width=width, exchange=exchange)
+    with maybe_trace(trace_dir):
+        med, mean, sd, out = device_time(fn, (keys,), reps=reps)
+    overflow = int(out[1])
+    return _record(f"mesh_lsd_w{width}_{exchange}", n, reps, med, mean, sd,
+                   nchips=nchips, overflow=overflow)
+
+
+def bench_mesh_sample(
+    n_local: int, *, reps=3, mesh=None, capacity_factor=1.5, trace_dir=None
+) -> BenchRecord:
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import KEY_AXIS, key_mesh
+    from ..parallel.sample_sort import build_sample_sort
+
+    mesh = mesh or key_mesh()
+    nchips = mesh.shape[KEY_AXIS]
+    n = n_local * nchips
+    keys = jax.device_put(Pcg32().fill(n), NamedSharding(mesh, P(KEY_AXIS)))
+    fn, _cap = build_sample_sort(mesh, n_local, capacity_factor=capacity_factor)
+    with maybe_trace(trace_dir):
+        med, mean, sd, out = device_time(fn, (keys,), reps=reps)
+    overflow = int(out[2])
+    return _record("mesh_sample_sort", n, reps, med, mean, sd,
+                   nchips=nchips, overflow=overflow)
+
+
+def bench_mesh_kv_sample(
+    n_local: int, *, payload_bytes=64, reps=3, mesh=None,
+    capacity_factor=1.5, trace_dir=None,
+) -> BenchRecord:
+    """Distributed stable key-value sort (BASELINE.json config 3 shape)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import KEY_AXIS, key_mesh
+    from ..parallel.sample_sort import build_sample_sort_kv
+
+    mesh = mesh or key_mesh()
+    nchips = mesh.shape[KEY_AXIS]
+    n = n_local * nchips
+    W = payload_bytes // 4
+    sharding = NamedSharding(mesh, P(KEY_AXIS))
+    keys = jax.device_put(Pcg32().fill(n), sharding)
+    vals = jax.device_put(
+        generate_payloads(n, payload_bytes=payload_bytes)
+        .view(np.uint32).reshape(n, W),
+        sharding,
+    )
+    fn, _cap = build_sample_sort_kv(
+        mesh, n_local, W, capacity_factor=capacity_factor
+    )
+    with maybe_trace(trace_dir):
+        med, mean, sd, out = device_time(fn, (keys, vals), reps=reps)
+    return _record(f"mesh_kv_sample_p{payload_bytes}B", n, reps, med, mean,
+                   sd, unit="rows/s", nchips=nchips, overflow=int(out[3]))
+
+
+def bench_hash_aggregate(
+    n_local: int, *, op="count", zipf_alpha=1.2, reps=3, mesh=None,
+    trace_dir=None,
+) -> BenchRecord:
+    """The skewed pipeline bench (BASELINE.json config 5): Zipf keys,
+    distributed hash-partition + combine + sampled-splitter exchange +
+    aggregate."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import KEY_AXIS, key_mesh
+    from ..parallel.pipeline import build_hash_aggregate
+
+    mesh = mesh or key_mesh()
+    nchips = mesh.shape[KEY_AXIS]
+    n = n_local * nchips
+    keys = generate_zipf_keys(n, alpha=zipf_alpha, seed=9)
+    vals = np.ones(n, dtype=np.float32)
+    valid = np.ones(n, dtype=bool)
+    sharding = NamedSharding(mesh, P(KEY_AXIS))
+    dk = jax.device_put(keys, sharding)
+    dv = jax.device_put(vals, sharding)
+    dm = jax.device_put(valid, sharding)
+    fn, _cap = build_hash_aggregate(mesh, n_local, op=op)
+    with maybe_trace(trace_dir):
+        med, mean, sd, out = device_time(fn, (dk, dv, dm), reps=reps)
+    return _record(f"hash_aggregate_{op}_zipf", n, reps, med, mean, sd,
+                   unit="rows/s", nchips=nchips, overflow=int(out[3]))
+
+
+# ---------------------------------------------------------------------------
+# Storage-path bench (wall clock incl. IO, per-phase stats)
+# ---------------------------------------------------------------------------
+
+def bench_storage_distrib(n: int, cfg: SortConfig, *, reps=1) -> BenchRecord:
+    from ..parallel.storage_sort import sort_distrib_from_raw
+    from ..utils.checks import check_sort_full
+
+    cfg.validate()
+    keys = Pcg32().fill(n)
+    times = []
+    stats = SortStats()
+    for rep in range(reps):
+        factory = cfg.make_factory()
+        worker = cfg.make_worker()
+        t0 = time.perf_counter()
+        got = sort_distrib_from_raw(
+            keys, f"bench_r{rep}", factory, worker,
+            width=cfg.width, nworker=cfg.nworker, stats=stats,
+            checkpoint_dir=cfg.checkpoint_dir,
+        )
+        times.append(time.perf_counter() - t0)
+        if not check_sort_full(got, keys):
+            raise AssertionError("storage distrib sort produced wrong output")
+    med = statistics.median(times)
+    return _record(
+        f"storage_{cfg.backend}_{cfg.worker}_w{cfg.width}", n, reps, med,
+        statistics.fmean(times),
+        statistics.stdev(times) if reps > 1 else 0.0,
+        phases=stats.report(), nworker=cfg.nworker,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Suites
+# ---------------------------------------------------------------------------
+
+def run_benchmarks(
+    suite: str = "quick", *, trace_dir: str | None = None
+) -> list[BenchRecord]:
+    """The RunBenchmarks analog (benchmark.go:126-180).  ``quick`` sizes for
+    CI/CPU; ``full`` for the real chip (reference workload scale: 256Mi keys
+    per device, benchmarks.cpp:9-15)."""
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    if suite == "full":
+        n1 = 64 << 20 if on_tpu else 1 << 22
+        reps = 5
+    else:
+        n1 = (8 << 20) if on_tpu else (1 << 20)
+        reps = 3
+    n_local = max(n1 // max(len(jax.devices()), 1), 1 << 12)
+
+    records = [
+        bench_keygen(n1),
+        bench_full_sort(n1, reps=reps, trace_dir=trace_dir),
+        bench_partial_sort(n1, width=8, reps=reps),
+        bench_partial_sort(n1, width=16, reps=reps),
+        bench_key_value_sort(n1 // 2, payload_bytes=8, reps=reps),
+        bench_mesh_lsd(n_local, width=8, exchange="alltoall", reps=reps),
+        bench_mesh_sample(n_local, reps=reps),
+        bench_mesh_kv_sample(max(n_local // 4, 1 << 12), reps=reps),
+        bench_hash_aggregate(n_local, op="count", reps=reps),
+        bench_storage_distrib(
+            min(n1, 4 << 20), SortConfig(backend="mem"), reps=1
+        ),
+    ]
+    return records
+
+
+def report(records: list[BenchRecord], *, as_json=False) -> str:
+    if as_json:
+        import json
+
+        return "\n".join(json.dumps(r.to_dict()) for r in records)
+    return "\n".join(r.line() for r in records)
