@@ -1,5 +1,6 @@
 from .pipelines import (  # noqa: F401
     DistributedSortPipeline,
     FullSortPipeline,
+    HashAggregatePipeline,
     PartialSortPipeline,
 )

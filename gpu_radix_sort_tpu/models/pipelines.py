@@ -63,6 +63,38 @@ class PartialSortPipeline:
 
 
 @dataclass
+class HashAggregatePipeline:
+    """Skew-aware distributed group-by (BASELINE.json config 5): hash
+    partition with sampled splitters, optional filter predicate, local
+    combine + global aggregate over the mesh."""
+
+    n_local: int = 1 << 14
+    op: str = "count"
+    zipf_alpha: float = 1.2
+    capacity_factor: float = 2.0
+    mesh: object = None
+
+    def build(self):
+        from ..parallel.pipeline import build_hash_aggregate
+        from ..utils.keygen import generate_zipf_keys
+
+        mesh = self.mesh or key_mesh()
+        nchips = mesh.shape[KEY_AXIS]
+        n = self.n_local * nchips
+        fn, _cap = build_hash_aggregate(
+            mesh, self.n_local, op=self.op,
+            capacity_factor=self.capacity_factor,
+        )
+        sharding = NamedSharding(mesh, P(KEY_AXIS))
+        keys = jax.device_put(
+            generate_zipf_keys(n, alpha=self.zipf_alpha, seed=9), sharding
+        )
+        vals = jax.device_put(np.ones(n, dtype=np.float32), sharding)
+        valid = jax.device_put(np.ones(n, dtype=bool), sharding)
+        return fn, (keys, vals, valid)
+
+
+@dataclass
 class DistributedSortPipeline:
     """Full training-step analog: the distributed sort with real shardings
     over the mesh.  ``algorithm``: "lsd" = reference-parity 32/width radix

@@ -1,0 +1,144 @@
+"""Table operators: hash partition, filter (compaction), group aggregate.
+
+The north-star capability set extends the reference's keys-only sort with
+the relational steps its distributed design composes with (BASELINE.json:
+"radix hash-partition -> filter -> aggregate ... with sampled splitters").
+The reference itself has none of these; designs here are TPU-first:
+
+  * static shapes everywhere — "filter" returns a packed array + valid
+    count (tail padded), never a dynamic-size array;
+  * data movement rides the sort machinery (stable key-value sort), since
+    XLA sort is the only fast permutation primitive on TPU
+    (docs/PERF_NOTES.md: gather/scatter ~100M elem/s, sort ~2.6G row/s);
+  * aggregation is segment math over sorted runs, not scatter-adds.
+
+All functions are jit/vmap/shard_map-safe.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .bits import KEY_DTYPE
+
+# Fibonacci multiplicative hashing: odd constant ≈ 2^32/phi; bijective on
+# uint32 (odd multiplier), avalanche-boosted by the xor-shift.
+_HASH_MULT = jnp.uint32(2654435769)
+
+
+def hash_u32(keys: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic uint32 -> uint32 hash (bijective)."""
+    x = keys.astype(KEY_DTYPE) * _HASH_MULT
+    x = x ^ (x >> jnp.uint32(15))
+    x = x * jnp.uint32(0x2C1B3C6D)
+    x = x ^ (x >> jnp.uint32(12))
+    return x
+
+
+def hash_partition_ids(keys: jnp.ndarray, nparts: int) -> jnp.ndarray:
+    """Radix hash partition: partition id = top log2(nparts) bits of the
+    hash (uniform for any key distribution; duplicates co-locate, which is
+    what partitioned aggregation wants)."""
+    if nparts & (nparts - 1):
+        raise ValueError(f"nparts must be a power of 2, got {nparts}")
+    shift = jnp.uint32(32 - (nparts.bit_length() - 1))
+    if nparts == 1:
+        return jnp.zeros_like(keys, dtype=jnp.uint32)
+    return hash_u32(keys) >> shift
+
+
+def partition_by_ids(
+    keys: jnp.ndarray, part_ids: jnp.ndarray, nparts: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Stable-partition keys by partition id; returns (reordered_keys,
+    counts[nparts]).  Run r of the output (starts = exclusive cumsum of
+    counts) is partition r — the single-chip analog of one distributed
+    exchange round."""
+    _, reordered = lax.sort_key_val(
+        part_ids.astype(jnp.uint32), keys.astype(KEY_DTYPE), is_stable=True
+    )
+    counts = jnp.bincount(part_ids.astype(jnp.int32), length=nparts)
+    return reordered, counts
+
+
+def compact(
+    values: jnp.ndarray, mask: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Filter with static shapes: stable-pack elements where ``mask`` is
+    True to the front, preserving order; returns (packed, count).  Elements
+    past ``count`` are unspecified.  This is the TPU filter idiom — a
+    dynamic-size result would defeat jit."""
+    # Stable sort by !mask: kept elements (0) first, dropped (1) after.
+    dropped = (~mask).astype(jnp.uint32)
+    _, packed = lax.sort_key_val(dropped, values, is_stable=True)
+    return packed, mask.sum(dtype=jnp.int32)
+
+
+def filter_range(
+    keys: jnp.ndarray, lo, hi
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Keys in [lo, hi), packed + count."""
+    k = keys.astype(KEY_DTYPE)
+    return compact(k, (k >= KEY_DTYPE(lo)) & (k < KEY_DTYPE(hi)))
+
+
+VALID_AGG_OPS = ("sum", "count", "min", "max")
+
+
+def group_aggregate_sorted(
+    sorted_keys: jnp.ndarray,
+    values: jnp.ndarray | None = None,
+    op: str = "sum",
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Group-by over *key-sorted* input: one output row per distinct key.
+
+    Returns ``(unique_keys, aggregates, ngroups)``, all length n (static
+    shape): rows past ``ngroups`` are padding.  Aggregation is segment math
+    over sorted runs (run starts -> segment ids via cumsum), entirely
+    scatter-free; ``values=None`` with op="sum"/"count" aggregates 1s.
+    """
+    if op not in VALID_AGG_OPS:
+        raise ValueError(f"op must be one of {VALID_AGG_OPS}, got {op!r}")
+    n = sorted_keys.shape[0]
+    k = sorted_keys.astype(KEY_DTYPE)
+    if values is None or op == "count":
+        values = jnp.ones_like(k, dtype=jnp.uint32 if op == "count" else jnp.float32)
+        if op == "count":
+            op = "sum"
+
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (k[1:] != k[:-1]).astype(jnp.int32)]
+    )
+    seg_ids = jnp.cumsum(is_start) - 1  # 0-based group index per row
+    ngroups = seg_ids[-1] + 1 if n else jnp.int32(0)
+
+    if op == "sum":
+        agg = jax.ops.segment_sum(values, seg_ids, num_segments=n)
+    elif op == "min":
+        agg = jax.ops.segment_min(values, seg_ids, num_segments=n)
+    else:  # max
+        agg = jax.ops.segment_max(values, seg_ids, num_segments=n)
+
+    # unique key for each group: the key at each run start, packed to front.
+    uniq, _cnt = compact(k, is_start.astype(bool))
+    return uniq, agg, jnp.int32(ngroups)
+
+
+def group_aggregate(
+    keys: jnp.ndarray,
+    values: jnp.ndarray | None = None,
+    op: str = "sum",
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Group-by over unsorted input: stable kv-sort then segment reduce.
+    This is also the local *combiner* of the distributed pipeline (pre-
+    aggregating duplicates before the exchange is what neutralizes Zipf
+    skew — a hot key becomes one row per chip)."""
+    if values is None:
+        sorted_keys = jnp.sort(keys.astype(KEY_DTYPE))
+        return group_aggregate_sorted(sorted_keys, None, op)
+    sorted_keys, sorted_vals = lax.sort_key_val(
+        keys.astype(KEY_DTYPE), values, is_stable=True
+    )
+    return group_aggregate_sorted(sorted_keys, sorted_vals, op)

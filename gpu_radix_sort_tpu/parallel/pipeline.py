@@ -1,0 +1,259 @@
+"""Distributed hash-partition → filter → aggregate pipeline (skew-aware).
+
+The north-star composition (BASELINE.json config 5): Zipf-distributed keys,
+sampled splitters, radix hash-partition, filter, aggregate — on the device
+mesh.  No reference equivalent; designed TPU-first around the same
+scatter-free machinery as the sort paths:
+
+  1. **Local filter** (optional predicate): compaction, not dynamic shapes.
+  2. **Local combine**: group-aggregate duplicates on each chip first
+     (ops/table.group_aggregate).  This is the skew neutralizer — a Zipf
+     hot key collapses to ONE row per chip before any communication, so
+     the exchange load is bounded by *distinct* keys regardless of how
+     skewed the value distribution is.
+  3. **Sampled-splitter exchange on hashed keys**: combined rows are
+     ordered by key hash; P-quantile samples are all-gathered and re-sorted
+     and their regular quantiles become splitters (the PSRS scheme,
+     parallel/sample_sort.py) so every chip receives a balanced hash range
+     even when per-chip distinct-key counts differ.  Row payloads move by
+     capacity-bounded `lax.all_to_all`; overflow is detected, never silent.
+  4. **Final aggregate**: each chip owns disjoint hash ranges; a second
+     group-aggregate merges per-chip partials (sum/min/max merge with the
+     same op; count merges with sum).
+
+Validity is tracked by *packing* (valid rows first + a count), never by
+sentinel keys — full-range uint32 keys, including 0xFFFFFFFF, are handled
+exactly; padding rows are neutralized by rewriting them to the first valid
+row's key with the aggregation identity as value.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental.shard_map import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.bits import KEY_DTYPE
+from ..ops.table import VALID_AGG_OPS, compact, group_aggregate, hash_u32
+from .mesh import KEY_AXIS, key_mesh
+
+HASH_PAD = jnp.uint32(0xFFFFFFFF)
+
+
+def _identity(op: str, dtype) -> jnp.ndarray:
+    if op in ("sum", "count"):
+        return jnp.zeros((), dtype)
+    info = (
+        jnp.finfo(dtype) if jnp.issubdtype(dtype, jnp.floating) else jnp.iinfo(dtype)
+    )
+    return jnp.array(info.max if op == "min" else info.min, dtype)
+
+
+def _neutralize_tail(keys, vals, count, op):
+    """Rewrite rows at index >= count to (keys[0], identity): they merge
+    into an existing group (when count > 0) contributing nothing."""
+    idx = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    valid = idx < count
+    keys = jnp.where(valid, keys, keys[0])
+    vals = jnp.where(valid, vals, _identity(op, vals.dtype))
+    return keys, vals
+
+
+def _pipeline_shard(keys, values, row_valid, *, axis, capacity, op, predicate):
+    P_ = lax.axis_size(axis)
+    my = lax.axis_index(axis)
+    n = keys.shape[0]
+    merge_op = "sum" if op == "count" else op
+
+    # 1. filter (user predicate AND row validity — the host wrapper marks
+    # its padding rows invalid so they never contribute) -------------------
+    mask = row_valid
+    if predicate is not None:
+        mask = mask & predicate(keys)
+    if op == "count":
+        values = jnp.ones((n,), jnp.uint32)
+    dropped = (~mask).astype(jnp.uint32)
+    _, keys_packed = lax.sort_key_val(dropped, keys, is_stable=True)
+    _, values = lax.sort_key_val(dropped, values, is_stable=True)
+    keys = keys_packed
+    kept = mask.sum(dtype=jnp.int32)
+    keys, values = _neutralize_tail(keys, values, kept, op)
+
+    # 2. local combine -------------------------------------------------
+    uniq, agg, ng = group_aggregate(keys, values, op)
+    ng = jnp.where(kept > 0, ng, 0)
+    uniq, agg = _neutralize_tail(uniq, agg, ng, merge_op)
+
+    # 3. order by hash; sampled splitters; exchange -------------------------
+    # Hash sort key: valid rows by hash, padding forced last.  A stable sort
+    # keeps valid rows (indices < ng) ahead of padding on hash ties, so the
+    # first `ng` positions are exactly the valid rows even when a real hash
+    # equals HASH_PAD.
+    idx = jnp.arange(n, dtype=jnp.int32)
+    h = jnp.where(idx < ng, hash_u32(uniq), HASH_PAD)
+    h_sorted, order = lax.sort_key_val(h, idx.astype(jnp.uint32), is_stable=True)
+    uniq_s = jnp.take(uniq, order)
+    agg_s = jnp.take(agg, order)
+
+    # Regular sampling of the VALID prefix (positions i*ng/P, tiny gather).
+    sample_pos = (
+        jnp.arange(P_, dtype=jnp.int32) * jnp.maximum(ng, 1)
+    ) // jnp.int32(P_)
+    samples = jnp.take(h_sorted, sample_pos)
+    samples = jnp.where(ng > 0, samples, HASH_PAD)
+    cand = jnp.sort(lax.all_gather(samples, axis).reshape(-1))  # (P*P,)
+    splitters = cand[jnp.arange(1, P_, dtype=jnp.int32) * P_]  # (P-1,)
+
+    bounds = jnp.clip(
+        jnp.searchsorted(h_sorted, splitters, side="left").astype(jnp.int32),
+        0,
+        ng,
+    )
+    send_bounds = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), bounds, ng[None].astype(jnp.int32)]
+    )
+    send_count = send_bounds[1:] - send_bounds[:-1]
+    overflowed = jnp.any(send_count > capacity)
+
+    def rows(buf, fill):
+        padded = jnp.concatenate([buf, jnp.full((capacity,), fill, buf.dtype)])
+        return jnp.stack(
+            [
+                lax.dynamic_slice(padded, (send_bounds[c],), (capacity,))
+                for c in range(P_)
+            ]
+        )
+
+    send_keys = rows(uniq_s, jnp.zeros((), KEY_DTYPE))
+    send_aggs = rows(agg_s, _identity(merge_op, agg_s.dtype))
+
+    counts_mat = lax.all_gather(send_count, axis)  # (P, P): [i, c] = i -> c
+    recv_count = counts_mat[:, my]  # (P,)
+    recv_keys = lax.all_to_all(send_keys, axis, 0, 0, tiled=False)
+    recv_aggs = lax.all_to_all(send_aggs, axis, 0, 0, tiled=False)
+
+    # 4. final merge ---------------------------------------------------
+    k_iota = lax.broadcasted_iota(jnp.int32, (P_, capacity), 1)
+    valid = (k_iota < recv_count[:, None]).reshape(-1)
+    flat_keys = recv_keys.reshape(-1)
+    flat_aggs = recv_aggs.reshape(-1)
+    flat_keys, total = compact(flat_keys, valid)
+    dropped = (~valid).astype(jnp.uint32)
+    _, flat_aggs = lax.sort_key_val(dropped, flat_aggs, is_stable=True)
+    flat_keys, flat_aggs = _neutralize_tail(flat_keys, flat_aggs, total, merge_op)
+
+    out_keys, out_aggs, out_ng = group_aggregate(flat_keys, flat_aggs, merge_op)
+    out_ng = jnp.where(total > 0, out_ng, 0)
+    return (
+        out_keys,
+        out_aggs,
+        out_ng[None].astype(jnp.int32),
+        lax.psum(overflowed.astype(jnp.int32), axis),
+    )
+
+
+def build_hash_aggregate(
+    mesh,
+    n_local: int,
+    *,
+    op: str = "sum",
+    value_dtype=jnp.float32,
+    predicate=None,
+    capacity_factor: float = 2.0,
+    axis: str = KEY_AXIS,
+):
+    """Compile-ready distributed group-by.
+
+    Returns ``(fn, capacity)`` where ``fn(keys, values, row_valid) ->
+    (group_keys, aggregates, ngroups_per_chip, overflow)``; inputs have
+    global shape (P*n_local,) sharded over ``axis`` (``row_valid`` is bool —
+    padding rows marked False never contribute); outputs are per-chip
+    padded buffers of P*capacity rows plus valid counts.  For ``op="count"``
+    values are ignored (pass keys).
+    """
+    if op not in VALID_AGG_OPS:
+        raise ValueError(f"op must be one of {VALID_AGG_OPS}, got {op!r}")
+    nchips = mesh.shape[axis]
+    if nchips == 1:
+        capacity = n_local
+    else:
+        even = -(-n_local // nchips)
+        capacity = min(n_local, int(even * capacity_factor) + 64)
+
+    fn = shard_map(
+        lambda k, v, m: _pipeline_shard(
+            k, v, m, axis=axis, capacity=capacity, op=op, predicate=predicate
+        ),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P()),
+    )
+    return jax.jit(fn), capacity
+
+
+def hash_aggregate_distributed(
+    keys,
+    values=None,
+    *,
+    op: str = "sum",
+    predicate=None,
+    mesh=None,
+    capacity_factor: float = 2.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-facing distributed group-by: returns (group_keys, aggregates)
+    over all chips, keys in hash order (NOT key order; sort the pair arrays
+    by key if key order matters).  Raises on exchange overflow."""
+    from .distributed import OverflowError_
+
+    mesh = mesh or key_mesh()
+    nchips = mesh.shape[KEY_AXIS]
+    keys = np.asarray(keys, dtype=np.uint32)
+    n = keys.size
+    if values is None:
+        if op != "count":
+            raise ValueError("values required unless op='count'")
+        values = keys  # ignored for count
+    else:
+        values = np.asarray(values)
+    n_local = max(-(-n // nchips), nchips)
+    n_pad = n_local * nchips
+
+    pad_keys = np.zeros(n_pad, dtype=np.uint32)
+    pad_keys[:n] = keys
+    pad_vals = np.zeros(n_pad, dtype=values.dtype)
+    pad_vals[:n] = values
+    row_valid = np.zeros(n_pad, dtype=bool)
+    row_valid[:n] = True
+
+    sharding = NamedSharding(mesh, P(KEY_AXIS))
+    dk = jax.device_put(pad_keys, sharding)
+    dv = jax.device_put(pad_vals, sharding)
+    dm = jax.device_put(row_valid, sharding)
+
+    fn, capacity = build_hash_aggregate(
+        mesh,
+        n_local,
+        op=op,
+        value_dtype=values.dtype,
+        predicate=predicate,
+        capacity_factor=capacity_factor,
+    )
+    gk, ga, ng, overflow = (
+        np.asarray(jax.device_get(x)) for x in fn(dk, dv, dm)
+    )
+    if int(overflow) > 0:
+        raise OverflowError_(
+            "hash-aggregate exchange capacity overflowed; raise capacity_factor"
+        )
+    rows_per_chip = gk.size // nchips
+    out_k, out_a = [], []
+    for c in range(nchips):
+        cnt = int(ng[c])
+        out_k.append(gk[c * rows_per_chip : c * rows_per_chip + cnt])
+        out_a.append(ga[c * rows_per_chip : c * rows_per_chip + cnt])
+    out_keys = np.concatenate(out_k) if out_k else np.empty(0, np.uint32)
+    out_aggs = np.concatenate(out_a) if out_a else np.empty(0, values.dtype)
+    return out_keys, out_aggs
