@@ -126,9 +126,12 @@ def sort_partial_counts(
     quirks and keeping bucket metadata exact.
     """
     validate_digit_range(offset, width)
-    counts = digit_counts(keys, offset, width)
     sorted_keys = sort_by_digits(keys, offset, width, strategy=strategy)
-    return sorted_keys, counts
+    # counts from the sorted runs (searchsorted diffs): scatter-free,
+    # unlike a bincount over the unsorted keys (docs/PERF_NOTES.md).
+    from .boundaries import digit_counts_sorted
+
+    return sorted_keys, digit_counts_sorted(sorted_keys, offset, width)
 
 
 def sort_key_value(

@@ -113,6 +113,168 @@ def build_sample_sort(
     return jax.jit(fn), capacity
 
 
+def _sample_sort_kv_shard(local_keys, local_vals, *, axis, capacity):
+    """PSRS with payload rows riding the exchange.
+
+    ``local_vals``: (n, W) uint32 lanes (the host wrapper packs arbitrary
+    fixed-size byte payloads into lanes).  Stability: ties broken by
+    (source chip, original local index), i.e. global input order — matching
+    a stable single-chip kv sort of the linearized input.
+    """
+    P_ = lax.axis_size(axis)
+    my = lax.axis_index(axis)
+    n = local_keys.shape[0]
+    W = local_vals.shape[1]
+
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    s, order = lax.sort_key_val(local_keys.astype(KEY_DTYPE), idx, is_stable=True)
+    vals_s = jnp.take(local_vals, order, axis=0)
+
+    stride = max(n // P_, 1)
+    sample_pos = jnp.arange(P_, dtype=jnp.int32) * stride
+    samples = s[sample_pos]
+    cand = jnp.sort(lax.all_gather(samples, axis).reshape(-1))
+    splitters = cand[jnp.arange(1, P_, dtype=jnp.int32) * P_]
+
+    bounds = jnp.searchsorted(s, splitters, side="left").astype(jnp.int32)
+    send_bounds = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), bounds, jnp.full(1, n, jnp.int32)]
+    )
+    send_count = send_bounds[1:] - send_bounds[:-1]
+    overflowed = jnp.any(send_count > capacity)
+
+    padded_k = jnp.concatenate([s, jnp.full((capacity,), PAD_KEY, KEY_DTYPE)])
+    padded_v = jnp.concatenate(
+        [vals_s, jnp.zeros((capacity, W), jnp.uint32)], axis=0
+    )
+    send_keys = jnp.stack(
+        [lax.dynamic_slice(padded_k, (send_bounds[c],), (capacity,))
+         for c in range(P_)]
+    )  # (P, C)
+    send_vals = jnp.stack(
+        [lax.dynamic_slice(padded_v, (send_bounds[c], 0), (capacity, W))
+         for c in range(P_)]
+    )  # (P, C, W)
+
+    counts_mat = lax.all_gather(send_count, axis)
+    recv_count = counts_mat[:, my]
+
+    recv_k = lax.all_to_all(send_keys, axis, 0, 0, tiled=False)
+    recv_v = lax.all_to_all(send_vals, axis, 0, 0, tiled=False)
+
+    # Reassembly: receive order is (src chip, local rank); a stable sort by
+    # key therefore breaks ties by global input order.  Invalid slots must
+    # sort after ALL valid rows — a real 0xFFFFFFFF key from a later chip
+    # would otherwise tie with an earlier chip's padding and lose its
+    # payload to truncation — so validity is a second sort key, not a
+    # sentinel on the first.
+    k_iota = lax.broadcasted_iota(jnp.int32, (P_, capacity), 1)
+    invalid = (k_iota >= recv_count[:, None]).astype(jnp.uint32)
+    keys_masked = jnp.where(invalid.astype(bool), PAD_KEY, recv_k)
+    flat_idx = jnp.arange(P_ * capacity, dtype=jnp.uint32)
+    merged_k, _, perm = lax.sort(
+        (keys_masked.reshape(-1), invalid.reshape(-1), flat_idx),
+        num_keys=2,
+        is_stable=True,
+    )
+    merged_v = jnp.take(recv_v.reshape(P_ * capacity, W), perm, axis=0)
+    total = recv_count.sum().astype(jnp.int32)
+    return merged_k, merged_v, total[None], lax.psum(
+        overflowed.astype(jnp.int32), axis
+    )
+
+
+def build_sample_sort_kv(
+    mesh,
+    n_local: int,
+    payload_lanes: int,
+    *,
+    capacity_factor: float = 1.5,
+    axis: str = KEY_AXIS,
+):
+    """Compile-ready distributed stable key-value sample sort.
+
+    ``fn(keys, vals) -> (padded_keys, padded_vals, counts, overflow)`` with
+    keys (P*n_local,) and vals (P*n_local, payload_lanes) uint32, both
+    sharded over ``axis``.
+    """
+    nchips = mesh.shape[axis]
+    capacity = default_pair_capacity(n_local, nchips, capacity_factor)
+    fn = shard_map(
+        lambda k, v: _sample_sort_kv_shard(k, v, axis=axis, capacity=capacity),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P()),
+    )
+    return jax.jit(fn), capacity
+
+
+def sort_key_value_distributed(
+    keys,
+    values,
+    *,
+    mesh=None,
+    capacity_factor: float = 1.5,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-facing distributed stable key-value sort (BASELINE.json config
+    3: payload rows follow their keys with deterministic placement).
+
+    ``values``: (n, B) uint8 rows (B a multiple of 4) or any (n, W) uint32
+    array.  Returns (sorted_keys, values_in_sorted_order) exactly matching
+    a stable single-chip kv sort.
+    """
+    from .distributed import OverflowError_
+
+    mesh = mesh or key_mesh()
+    nchips = mesh.shape[KEY_AXIS]
+    keys = np.asarray(keys, dtype=np.uint32)
+    values = np.asarray(values)
+    n = keys.size
+    if values.shape[0] != n:
+        raise ValueError(f"values rows {values.shape[0]} != keys {n}")
+    vals_u32 = values
+    if values.dtype != np.uint32:
+        if values.dtype != np.uint8 or values.ndim != 2 or values.shape[1] % 4:
+            raise ValueError(
+                "values must be (n, W) uint32 or (n, B) uint8 with B % 4 == 0"
+            )
+        vals_u32 = values.view(np.uint32).reshape(n, -1)
+    W = vals_u32.shape[1]
+
+    n_local = max(-(-n // nchips), nchips)
+    n_pad = n_local * nchips
+    pk = np.full(n_pad, 0xFFFFFFFF, dtype=np.uint32)
+    pk[:n] = keys
+    pv = np.zeros((n_pad, W), dtype=np.uint32)
+    pv[:n] = vals_u32
+
+    sharding = NamedSharding(mesh, P(KEY_AXIS))
+    dk = jax.device_put(pk, sharding)
+    dv = jax.device_put(pv, sharding)
+    fn, capacity = build_sample_sort_kv(
+        mesh, n_local, W, capacity_factor=capacity_factor
+    )
+    mk, mv, counts, overflow = fn(dk, dv)
+    if int(overflow) > 0:
+        raise OverflowError_(
+            "kv sample-sort capacity overflowed; increase capacity_factor"
+        )
+    mk = np.asarray(jax.device_get(mk)).reshape(nchips, -1)
+    mv = np.asarray(jax.device_get(mv)).reshape(nchips, mk.shape[1], W)
+    counts = np.asarray(jax.device_get(counts)).reshape(-1)
+    out_k = np.concatenate([mk[i, : counts[i]] for i in range(nchips)])
+    out_v = np.concatenate([mv[i, : counts[i]] for i in range(nchips)])
+    assert out_k.size == n_pad
+    out_k, out_v = out_k[:n], out_v[:n]
+    if values.dtype != np.uint32:
+        out_v = (
+            np.ascontiguousarray(out_v.reshape(n, -1))
+            .view(np.uint8)
+            .reshape(values.shape)
+        )
+    return out_k, out_v
+
+
 def sort_distributed_sample(
     keys,
     *,

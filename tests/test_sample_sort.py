@@ -5,7 +5,11 @@ import numpy as np
 import pytest
 
 from gpu_radix_sort_tpu.parallel import distributed, key_mesh, sample_sort
-from gpu_radix_sort_tpu.utils.keygen import Pcg32, generate_zipf_keys
+from gpu_radix_sort_tpu.utils.keygen import (
+    Pcg32,
+    generate_payloads,
+    generate_zipf_keys,
+)
 
 
 def _mesh():
@@ -41,3 +45,56 @@ def test_sample_sort_tiny():
         keys = Pcg32().fill(n)
         out = sample_sort.sort_distributed_sample(keys, mesh=_mesh())
         np.testing.assert_array_equal(out, np.sort(keys))
+
+
+# ---------------------------------------------------------------------------
+# Key-value distributed sort (BASELINE.json config 3)
+# ---------------------------------------------------------------------------
+
+def _kv_oracle(keys, values):
+    order = np.argsort(keys, kind="stable")
+    return keys[order], values[order]
+
+
+def test_kv_sample_sort_stable_exact():
+    rng = np.random.default_rng(2)
+    keys = rng.integers(0, 1 << 10, size=9000).astype(np.uint32)  # many dupes
+    vals = np.arange(9000, dtype=np.uint32).reshape(-1, 1)  # provenance
+    gk, gv = sample_sort.sort_key_value_distributed(keys, vals)
+    wk, wv = _kv_oracle(keys, vals)
+    np.testing.assert_array_equal(gk, wk)
+    np.testing.assert_array_equal(gv, wv)  # stability: exact payload order
+
+
+def test_kv_sample_sort_byte_payload():
+    keys = Pcg32().fill(4099)
+    payload = generate_payloads(4099, payload_bytes=64)  # (n, 64) uint8
+    gk, gv = sample_sort.sort_key_value_distributed(keys, payload)
+    wk, wv = _kv_oracle(keys, payload)
+    np.testing.assert_array_equal(gk, wk)
+    np.testing.assert_array_equal(gv, wv)
+    assert gv.dtype == np.uint8 and gv.shape == (4099, 64)
+
+
+def test_kv_sample_sort_max_key_payload_survives_padding():
+    """Real 0xFFFFFFFF keys must keep their payloads despite padding rows
+    carrying the same key value."""
+    keys = np.array([0xFFFFFFFF, 5, 0xFFFFFFFF, 5, 0xFFFFFFFF] * 5,
+                    dtype=np.uint32)  # 25 rows over 8 chips -> padding
+    vals = np.arange(25, dtype=np.uint32).reshape(-1, 1)
+    gk, gv = sample_sort.sort_key_value_distributed(keys, vals)
+    wk, wv = _kv_oracle(keys, vals)
+    np.testing.assert_array_equal(gk, wk)
+    np.testing.assert_array_equal(gv, wv)
+
+
+def test_kv_sample_sort_rejects_bad_payload():
+    keys = Pcg32().fill(64)
+    with pytest.raises(ValueError, match="uint8"):
+        sample_sort.sort_key_value_distributed(
+            keys, np.zeros((64, 3), np.uint8)
+        )
+    with pytest.raises(ValueError, match="rows"):
+        sample_sort.sort_key_value_distributed(
+            keys, np.zeros((32, 4), np.uint8)
+        )
