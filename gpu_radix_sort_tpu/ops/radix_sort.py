@@ -45,14 +45,14 @@ def get_default_strategy() -> str:
     return _DEFAULT_STRATEGY
 
 
-def _resolve(strategy: str | None, n: int) -> str:
+def _resolve(strategy: str | None, n: int, kind: str = "full") -> str:
     name = strategy or _DEFAULT_STRATEGY
     if name not in _VALID:
         raise ValueError(f"strategy must be one of {_VALID}, got {name!r}")
     if name == "auto":
         from . import pallas_sort
 
-        if pallas_sort.supported(n):
+        if pallas_sort.supported(n, kind):
             return "pallas"
         return "xla"
     return name
@@ -94,11 +94,16 @@ def sort_by_digits(
     """Stable sort by bits [offset, offset+width) — the partial sort's data
     movement without boundary extraction."""
     validate_digit_range(offset, width)
-    name = _resolve(strategy, keys.shape[0])
+    name = _resolve(strategy, keys.shape[0], "kv")
     if name == "pallas":
         from . import pallas_sort
 
-        return pallas_sort.sort_by_digits(keys, offset, width)
+        try:
+            return pallas_sort.sort_by_digits(keys, offset, width)
+        except NotImplementedError:
+            if strategy == "pallas":
+                raise  # explicit request: surface the capability limit
+            return _sort_partial_xla(keys, offset, width)  # auto fallback
     return _sort_partial_xla(keys, offset, width)
 
 
