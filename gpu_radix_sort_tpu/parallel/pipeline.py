@@ -74,16 +74,19 @@ def _pipeline_shard(keys, values, row_valid, *, axis, capacity, op, predicate):
     if predicate is not None:
         mask = mask & predicate(keys)
     if op == "count":
+        # Materialize count as sum-of-ones HERE so padding rows can carry
+        # an explicit 0 (group_aggregate's own count mode would re-count
+        # every row, padding included).
         values = jnp.ones((n,), jnp.uint32)
     dropped = (~mask).astype(jnp.uint32)
     _, keys_packed = lax.sort_key_val(dropped, keys, is_stable=True)
     _, values = lax.sort_key_val(dropped, values, is_stable=True)
     keys = keys_packed
     kept = mask.sum(dtype=jnp.int32)
-    keys, values = _neutralize_tail(keys, values, kept, op)
+    keys, values = _neutralize_tail(keys, values, kept, merge_op)
 
     # 2. local combine -------------------------------------------------
-    uniq, agg, ng = group_aggregate(keys, values, op)
+    uniq, agg, ng = group_aggregate(keys, values, merge_op)
     ng = jnp.where(kept > 0, ng, 0)
     uniq, agg = _neutralize_tail(uniq, agg, ng, merge_op)
 

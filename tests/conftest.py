@@ -2,22 +2,33 @@
 
 Multi-chip hardware is not available in CI; sharding/collective paths are
 validated on virtual CPU devices (the driver separately dry-run-compiles the
-multi-chip path via __graft_entry__.dryrun_multichip).  Env vars must be set
-before jax initializes, hence this lives at conftest import time.
+multi-chip path via __graft_entry__.dryrun_multichip).
+
+The environment pins JAX to a single tunneled TPU chip aggressively: a site
+hook (PYTHONPATH sitecustomize) registers the TPU plugin and imports jax at
+interpreter start — BEFORE this conftest runs — so plain env-var defaults
+are too late and tests using default devices would silently run on one real
+TPU chip (slow remote compiles, no multi-device coverage).  Fix: override
+the platform through jax.config post-import (legal while backends are still
+uninitialized) and clear the plugin hook for any child processes.
 """
 
 import os
+import sys
 
-# Hard override, not setdefault: the environment pins JAX_PLATFORMS to the
-# TPU plugin and a site hook registers it in every interpreter — tests must
-# run on the virtual CPU mesh regardless.
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["PALLAS_AXON_POOL_IPS"] = ""  # site hook off in subprocesses
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+if "jax" in sys.modules:
+    import jax
+
+    if jax.config.jax_platforms != "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
