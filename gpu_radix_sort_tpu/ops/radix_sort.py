@@ -54,6 +54,11 @@ def _resolve(strategy: str | None, n: int, kind: str = "full") -> str:
 
         if pallas_sort.supported(n, kind):
             return "pallas"
+        if kind == "full":
+            from . import pallas_merge
+
+            if pallas_merge.supported_auto(n):
+                return "pallas_merge"
         return "xla"
     return name
 
@@ -82,9 +87,15 @@ def sort_full(keys: jnp.ndarray, *, strategy: str | None = None) -> jnp.ndarray:
     """Ascending full sort of uint32 keys (reference: invokers.cu:45)."""
     name = _resolve(strategy, keys.shape[0])
     if name == "pallas":
-        from . import pallas_sort
+        from . import pallas_merge, pallas_sort
 
+        if keys.shape[0] > pallas_sort.MAX_N:
+            return pallas_merge.sort_full_large(keys)
         return pallas_sort.sort_full(keys)
+    if name == "pallas_merge":
+        from . import pallas_merge
+
+        return pallas_merge.sort_full_large(keys)
     return _sort_full_xla(keys)
 
 
