@@ -83,8 +83,12 @@ def _compare_exchange(vals: tuple, idx, j: int, k: int, interpret: bool):
     # secondary operands follow the same selector, so for the kv network
     # ties are broken by the (unique) composite key, never reached here.
     out = []
-    for v in vals:
-        pv = jnp.where(upper, roll(v, -amt, axis), roll(v, amt, axis))
+    for i, v in enumerate(vals):
+        # the key's partner is already materialized for the comparison —
+        # reuse it (halves the rolls of keys-only networks)
+        pv = partner_key if i == 0 else jnp.where(
+            upper, roll(v, -amt, axis), roll(v, amt, axis)
+        )
         out.append(jnp.where(take_self, v, pv))
     return tuple(out)
 
