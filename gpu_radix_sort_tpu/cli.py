@@ -108,6 +108,12 @@ def _cmd_bench(args) -> int:
     return 0
 
 
+def _cmd_analyze(args) -> int:
+    from .bench.analyze import main as analyze_main
+
+    return analyze_main(args.files)
+
+
 def _cmd_worker(_args) -> int:
     from .parallel.worker_main import main as worker_main
 
@@ -214,6 +220,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     w = sub.add_parser("worker", help="serve one worker event from stdin")
     w.set_defaults(fn=_cmd_worker)
+
+    a = sub.add_parser("analyze", help="analyze/compare bench JSON records")
+    a.add_argument("files", nargs="+", help="1 file: cost stacks; 2: compare")
+    a.set_defaults(fn=_cmd_analyze)
 
     t = sub.add_parser("selftest", help="end-to-end exactness checks")
     t.add_argument("--n", type=int, default=100_000)

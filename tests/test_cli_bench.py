@@ -132,3 +132,32 @@ def test_bench_storage_has_phase_stats():
     rec = bench_storage_distrib(1 << 12, SortConfig(backend="device"), reps=1)
     phases = rec.extra["phases"]
     assert phases["workers"]["n"] == 4
+
+
+def test_cli_analyze_single_and_compare(tmp_path, capsys):
+    import json as _json
+
+    from gpu_radix_sort_tpu.bench import BenchRecord
+
+    def rec(name, rate, phases=None):
+        r = BenchRecord(name=name, n=1000, reps=2, median_s=1e-3,
+                        mean_s=1e-3, stdev_s=0.0, rate_per_s=rate,
+                        extra={"phases": phases} if phases else {})
+        return _json.dumps(r.to_dict())
+
+    r1 = tmp_path / "r1.jsonl"
+    r2 = tmp_path / "r2.jsonl"
+    phases = {"workers": {"total_s": 0.08, "mean_s": 0.02, "stdev_s": 0.0,
+                          "n": 4},
+              "split": {"total_s": 0.02, "mean_s": 0.005, "stdev_s": 0.0,
+                        "n": 4}}
+    r1.write_text(rec("full_sort", 100e6, phases) + "\n")
+    r2.write_text(rec("full_sort", 150e6) + "\n" + rec("new_bench", 5e6))
+
+    assert cli_main(["analyze", str(r1)]) == 0
+    out = capsys.readouterr().out
+    assert "workers" in out and "80.0%" in out
+
+    assert cli_main(["analyze", str(r1), str(r2)]) == 0
+    out = capsys.readouterr().out
+    assert "1.50x" in out and "new_bench" in out
