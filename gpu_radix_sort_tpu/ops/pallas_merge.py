@@ -323,10 +323,6 @@ def merge_level(x2d: jnp.ndarray, L: int, b_out: int = B_OUT) -> jnp.ndarray:
 # Full sort
 # ---------------------------------------------------------------------------
 
-def supported(n: int) -> bool:
-    return n > TILE
-
-
 # Measured on TPU v5e at 64M: merge 153.6ms vs lax.sort 189ms device-true
 # (1.23x).  Below ~16M the compile cost and stage-1 fraction erode the win;
 # "auto" routes only sizes where the advantage is established.

@@ -63,6 +63,15 @@ def partition_by_ids(
     return reordered, counts
 
 
+def pack_by_mask(mask: jnp.ndarray, *arrays: jnp.ndarray):
+    """Stable-pack rows where ``mask`` is True to the front of every array
+    simultaneously (one multi-operand sort — a single permutation, so the
+    arrays stay row-aligned).  Returns (packed_arrays..., count)."""
+    dropped = (~mask).astype(jnp.uint32)
+    sorted_ops = lax.sort((dropped, *arrays), num_keys=1, is_stable=True)
+    return (*sorted_ops[1:], mask.sum(dtype=jnp.int32))
+
+
 def compact(
     values: jnp.ndarray, mask: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -70,10 +79,8 @@ def compact(
     True to the front, preserving order; returns (packed, count).  Elements
     past ``count`` are unspecified.  This is the TPU filter idiom — a
     dynamic-size result would defeat jit."""
-    # Stable sort by !mask: kept elements (0) first, dropped (1) after.
-    dropped = (~mask).astype(jnp.uint32)
-    _, packed = lax.sort_key_val(dropped, values, is_stable=True)
-    return packed, mask.sum(dtype=jnp.int32)
+    packed, count = pack_by_mask(mask, values)
+    return packed, count
 
 
 def filter_range(

@@ -55,11 +55,16 @@ def initialize_distributed(
     process_id = process_id if process_id is not None else _int_env("JAX_PROCESS_ID")
     if not coordinator and num_processes is None:
         return False  # single-process run
-    jax.distributed.initialize(
-        coordinator_address=coordinator,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        # already initialized (e.g. a second defensive call in a
+        # single-process smoke config where process_count stays 1)
+        pass
     return jax.process_count() > 1
 
 
@@ -94,6 +99,8 @@ def process_shard_bounds(n_global: int, mesh=None) -> tuple[int, int]:
             if d.process_index == jax.process_index()]
     if not mine:
         return (0, 0)
-    lo = min(mine) * per_chip
+    # Clamp both ends to the array: with uneven per-chip padding a tail
+    # host's nominal range can start past n_global — it then owns nothing.
+    lo = min(min(mine) * per_chip, n_global)
     hi = min((max(mine) + 1) * per_chip, n_global)
-    return (lo, min(max(lo, 0), hi) if hi < lo else hi)
+    return (lo, max(hi, lo))

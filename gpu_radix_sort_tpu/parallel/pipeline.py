@@ -37,7 +37,7 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.bits import KEY_DTYPE
-from ..ops.table import VALID_AGG_OPS, compact, group_aggregate, hash_u32
+from ..ops.table import VALID_AGG_OPS, group_aggregate, hash_u32, pack_by_mask
 from .mesh import KEY_AXIS, key_mesh
 
 HASH_PAD = jnp.uint32(0xFFFFFFFF)
@@ -78,11 +78,7 @@ def _pipeline_shard(keys, values, row_valid, *, axis, capacity, op, predicate):
         # an explicit 0 (group_aggregate's own count mode would re-count
         # every row, padding included).
         values = jnp.ones((n,), jnp.uint32)
-    dropped = (~mask).astype(jnp.uint32)
-    _, keys_packed = lax.sort_key_val(dropped, keys, is_stable=True)
-    _, values = lax.sort_key_val(dropped, values, is_stable=True)
-    keys = keys_packed
-    kept = mask.sum(dtype=jnp.int32)
+    keys, values, kept = pack_by_mask(mask, keys, values)
     keys, values = _neutralize_tail(keys, values, kept, merge_op)
 
     # 2. local combine -------------------------------------------------
@@ -143,9 +139,7 @@ def _pipeline_shard(keys, values, row_valid, *, axis, capacity, op, predicate):
     valid = (k_iota < recv_count[:, None]).reshape(-1)
     flat_keys = recv_keys.reshape(-1)
     flat_aggs = recv_aggs.reshape(-1)
-    flat_keys, total = compact(flat_keys, valid)
-    dropped = (~valid).astype(jnp.uint32)
-    _, flat_aggs = lax.sort_key_val(dropped, flat_aggs, is_stable=True)
+    flat_keys, flat_aggs, total = pack_by_mask(valid, flat_keys, flat_aggs)
     flat_keys, flat_aggs = _neutralize_tail(flat_keys, flat_aggs, total, merge_op)
 
     out_keys, out_aggs, out_ng = group_aggregate(flat_keys, flat_aggs, merge_op)
@@ -163,7 +157,6 @@ def build_hash_aggregate(
     n_local: int,
     *,
     op: str = "sum",
-    value_dtype=jnp.float32,
     predicate=None,
     capacity_factor: float = 2.0,
     axis: str = KEY_AXIS,
@@ -240,7 +233,6 @@ def hash_aggregate_distributed(
         mesh,
         n_local,
         op=op,
-        value_dtype=values.dtype,
         predicate=predicate,
         capacity_factor=capacity_factor,
     )

@@ -39,3 +39,22 @@ def test_distributed_sort_on_pod_mesh():
     keys = Pcg32().fill(5000)
     out = sort_distributed(keys, mesh=pod_key_mesh(), width=16)
     np.testing.assert_array_equal(out, np.sort(keys))
+
+
+def test_process_shard_bounds_tail_host_clamped():
+    """A host whose nominal range starts past n_global owns nothing — the
+    returned range must stay within [0, n_global] with lo <= hi."""
+    import types
+
+    import numpy as _np
+
+    # 16 stub chips over 2 "hosts"; this process (index 0) owns the tail 8.
+    def dev(pi, i):
+        return types.SimpleNamespace(process_index=pi, id=i)
+
+    devs = [dev(1, i) for i in range(8)] + [dev(0, i) for i in range(8)]
+    mesh = types.SimpleNamespace(devices=_np.array(devs, dtype=object))
+    lo, hi = process_shard_bounds(3, mesh)  # per_chip=1; nominal [8, 16)
+    assert (lo, hi) == (3, 3)  # empty, in-bounds
+    lo, hi = process_shard_bounds(12, mesh)  # nominal [8, 16) -> [8, 12)
+    assert (lo, hi) == (8, 12)
