@@ -279,12 +279,21 @@ def bench_hash_aggregate(
 # Storage-path bench (wall clock incl. IO, per-phase stats)
 # ---------------------------------------------------------------------------
 
-def bench_storage_distrib(n: int, cfg: SortConfig, *, reps=1) -> BenchRecord:
+def bench_storage_distrib(
+    n: int, cfg: SortConfig, *, reps=1, warmup=True
+) -> BenchRecord:
     from ..parallel.storage_sort import sort_distrib_from_raw
     from ..utils.checks import check_sort_full
 
     cfg.validate()
     keys = Pcg32().fill(n)
+    if warmup:
+        # exclude one-time jit compiles (shard shapes are pow2-padded, so a
+        # same-size run covers the cache) from the timed reps
+        sort_distrib_from_raw(
+            keys, "bench_warmup", cfg.make_factory(), cfg.make_worker(),
+            width=cfg.width, nworker=cfg.nworker,
+        )
     times = []
     stats = SortStats()
     for rep in range(reps):
@@ -340,7 +349,7 @@ def run_benchmarks(
         bench_mesh_kv_sample(max(n_local // 4, 1 << 12), reps=reps),
         bench_hash_aggregate(n_local, op="count", reps=reps),
         bench_storage_distrib(
-            min(n1, 4 << 20), SortConfig(backend="mem"), reps=1
+            min(n1, 1 << 20), SortConfig(backend="mem"), reps=1
         ),
     ]
     return records

@@ -143,8 +143,21 @@ def sort_distributed(
     )
     out, overflow = fn(dev_keys)
     if int(overflow) > 0:
-        raise OverflowError_(
-            f"all-to-all capacity overflowed in {int(overflow)} round-chips; "
-            "increase capacity_factor or use exchange='gather'"
-        )
+        # Degenerate distributions (e.g. all-equal keys: every chip's whole
+        # shard stays on one peer) exceed any fixed per-peer capacity.  In
+        # "auto" mode fall back to the exact gather exchange; an explicitly
+        # requested alltoall surfaces the overflow to the caller.
+        if exchange == "auto":
+            fn = build_distributed_sort(
+                mesh, n_local, width=width, exchange="gather",
+                strategy=strategy,
+            )
+            out, overflow = fn(dev_keys)
+            assert int(overflow) == 0
+        else:
+            raise OverflowError_(
+                f"all-to-all capacity overflowed in {int(overflow)} "
+                "round-chips; increase capacity_factor or use "
+                "exchange='gather'"
+            )
     return np.asarray(jax.device_get(out))[:n]

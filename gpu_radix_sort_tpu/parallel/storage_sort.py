@@ -95,11 +95,22 @@ def local_distrib_worker(
     import jax
 
     keys = fetch_part_refs_u32(in_refs)
+    n = keys.size
+    # Shard sizes are data-dependent (byte-balanced splits), so jitting on
+    # the raw shape would recompile every round/worker — ruinous where
+    # compiles are expensive.  Pad to the next power of two: pad keys are
+    # 0xFFFFFFFF, whose digit is maximal at ANY (offset, width), so after a
+    # stable digit sort they occupy the tail of the last bucket — slice
+    # them off and deduct them from that bucket's count.
+    n_pad = 1 << max(n - 1, 1).bit_length()
+    padded = np.full(n_pad, 0xFFFFFFFF, dtype=np.uint32)
+    padded[:n] = keys
     sorted_keys, counts = _jitted_sort_partial_counts()(
-        keys, offset, width, strategy=strategy
+        padded, offset, width, strategy=strategy
     )
     counts = np.asarray(jax.device_get(counts), dtype=np.int64)
-    host_sorted = np.asarray(jax.device_get(sorted_keys))
+    counts[-1] -= n_pad - n
+    host_sorted = np.asarray(jax.device_get(sorted_keys))[:n]
 
     caps = counts * KEY_BYTES
     out = factory.create(out_name, create_shape(caps.tolist()))

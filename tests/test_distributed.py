@@ -102,3 +102,43 @@ def test_nondivisible_sizes_padded():
 def test_invalid_width_rejected():
     with pytest.raises(ValueError):
         distributed.sort_distributed(Pcg32().fill(64), mesh=_mesh(), width=5)
+
+
+def test_all_equal_keys():
+    """All-equal keys are the fixed-capacity worst case (each chip's whole
+    shard is destined for one peer): explicit alltoall must surface the
+    overflow; auto must fall back to the exact gather exchange."""
+    keys = np.full(4096, 0xDEADBEEF, dtype=np.uint32)
+    with pytest.raises(distributed.OverflowError_):
+        distributed.sort_distributed(
+            keys, mesh=_mesh(), width=8, exchange="alltoall"
+        )
+    out = distributed.sort_distributed(
+        keys, mesh=_mesh(), width=8, exchange="auto"
+    )
+    np.testing.assert_array_equal(out, keys)
+    # Above the auto size threshold the first attempt really is alltoall;
+    # the overflow retry must recover exactly.
+    big = np.full((1 << 20) + 64, 7, dtype=np.uint32)
+    out = distributed.sort_distributed(
+        big, mesh=_mesh(), width=16, exchange="auto"
+    )
+    np.testing.assert_array_equal(out, big)
+
+
+def test_zipf_skew_alltoall_or_explicit_overflow():
+    """Zipf keys through the capacity-bounded exchange either sort exactly
+    or raise the explicit overflow error — never silently corrupt."""
+    from gpu_radix_sort_tpu.utils.keygen import generate_zipf_keys
+
+    keys = generate_zipf_keys(1 << 14, alpha=1.3, seed=2)
+    try:
+        out = distributed.sort_distributed(
+            keys, mesh=_mesh(), width=8, exchange="alltoall",
+            capacity_factor=1.25,
+        )
+    except distributed.OverflowError_:
+        out = distributed.sort_distributed(
+            keys, mesh=_mesh(), width=8, exchange="gather"
+        )
+    np.testing.assert_array_equal(out, np.sort(keys))
