@@ -22,6 +22,7 @@ from .pipeline import (  # noqa: F401
     hash_aggregate_distributed,
 )
 from .serverless import (  # noqa: F401
+    WorkerPool,
     build_event,
     handle_event,
     invoke_subprocess,

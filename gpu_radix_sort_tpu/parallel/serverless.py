@@ -135,6 +135,121 @@ def invoke_subprocess(
         ) from e
 
 
+class WorkerPool:
+    """A pool of persistent worker processes serving events over pipes.
+
+    The reference's FaaS model spawns a fresh interpreter per invocation
+    (invoke.go:118-171) — every round pays import + compile.  A pool keeps
+    workers alive across rounds, so their jit caches stay warm (shard
+    shapes are pow2-padded by the local worker, making cache hits the
+    common case).  Thread-safe: concurrent invokes check workers out of a
+    free queue, matching the round loop's ThreadPoolExecutor.
+
+    Use as a context manager; :meth:`worker` adapts the pool into a
+    :class:`DistribWorker` for ``sort_distrib_from_arr``.
+    """
+
+    def __init__(
+        self,
+        mount: str,
+        size: int = 2,
+        *,
+        platform: str | None = "cpu",
+        profile_dir: str | None = None,
+        spawn_timeout_s: float = 120.0,
+    ):
+        import queue
+
+        self._mount = mount
+        self._platform = platform
+        self._profile_dir = profile_dir
+        self._spawn_timeout_s = spawn_timeout_s
+        self._procs: list[subprocess.Popen] = []
+        self._free: "queue.Queue[subprocess.Popen]" = queue.Queue()
+        for _ in range(size):
+            self._free.put(self._spawn())
+
+    def _env(self) -> dict:
+        env = dict(os.environ)
+        env[MOUNT_ENV] = self._mount
+        if self._platform is not None:
+            env["JAX_PLATFORMS"] = self._platform
+            if self._platform != "tpu":
+                env["PALLAS_AXON_POOL_IPS"] = ""
+        if self._profile_dir is not None:
+            env[PROFILE_ENV] = self._profile_dir
+        return env
+
+    def _spawn(self) -> subprocess.Popen:
+        proc = subprocess.Popen(
+            [sys.executable, "-m", WORKER_MODULE, "--serve"],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            env=self._env(),
+            text=True,
+        )
+        ready = proc.stdout.readline()
+        if not ready or not json.loads(ready).get("ready"):
+            raise RuntimeError(
+                f"worker failed to start (rc={proc.poll()}): {ready!r}"
+            )
+        self._procs.append(proc)
+        return proc
+
+    def invoke(self, event: dict) -> dict:
+        proc = self._free.get()
+        try:
+            if proc.poll() is not None:  # died since last use: respawn
+                self._procs.remove(proc)
+                proc = self._spawn()
+            proc.stdin.write(json.dumps(event) + "\n")
+            proc.stdin.flush()
+            line = proc.stdout.readline()
+            if not line:
+                self._procs.remove(proc)
+                dead, proc = proc, self._spawn()
+                raise RuntimeError(
+                    f"worker process died mid-event (rc={dead.poll()})"
+                )
+            return json.loads(line)
+        finally:
+            self._free.put(proc)
+
+    def worker(self):
+        """Adapt the pool into a DistribWorker."""
+
+        def run(in_refs, offset, width, out_name, factory):
+            if not isinstance(factory, FileArrayFactory):
+                raise TypeError(
+                    "subprocess workers exchange data via the file backend; "
+                    f"got {type(factory).__name__}"
+                )
+            result = self.invoke(build_event(in_refs, offset, width, out_name))
+            if not result.get("success"):
+                raise RuntimeError(f"worker error: {result.get('err')}")
+            return factory.open(out_name)
+
+        return run
+
+    def close(self) -> None:
+        for proc in self._procs:
+            if proc.poll() is None:
+                proc.stdin.close()
+                try:
+                    proc.wait(timeout=10)
+                except subprocess.TimeoutExpired:
+                    proc.kill()
+                    proc.wait()
+        self._procs.clear()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
 def make_subprocess_worker(
     mount: str,
     *,

@@ -152,3 +152,65 @@ def test_subprocess_worker_requires_file_factory(mount):
     worker = make_subprocess_worker(mount)
     with pytest.raises(TypeError, match="file backend"):
         worker([], 0, 8, "x", MemArrayFactory())
+
+
+# ---------------------------------------------------------------------------
+# Persistent worker pool
+# ---------------------------------------------------------------------------
+
+def test_worker_pool_end_to_end(mount):
+    """Full distributed sort with a pool of 2 persistent worker processes:
+    8 rounds of work over 2 spawns (vs 8 spawns per-invocation)."""
+    from gpu_radix_sort_tpu.parallel import WorkerPool
+
+    factory = FileArrayFactory(mount)
+    keys = Pcg32().fill(1111)
+    with WorkerPool(mount, size=2) as pool:
+        got = sort_distrib_from_raw(
+            keys, "poole2e", factory, pool.worker(), width=8, nworker=2
+        )
+        assert checks.check_sort_full(got, keys)
+        # reuse: a second sort through the SAME processes (warm jit caches)
+        keys2 = Pcg32().fill(777)
+        got2 = sort_distrib_from_raw(
+            keys2, "poole2e2", factory, pool.worker(), width=16, nworker=2
+        )
+        assert checks.check_sort_full(got2, keys2)
+        assert len(pool._procs) == 2  # no respawns needed
+
+
+def test_worker_pool_error_in_band_and_survives(mount):
+    from gpu_radix_sort_tpu.parallel import WorkerPool
+
+    with WorkerPool(mount, size=1) as pool:
+        bad = {"offset": 0, "width": 8, "arrType": "file",
+               "input": [{"arrayName": "missing", "partID": 0,
+                          "start": 0, "nbyte": 4}],
+               "output": "nope"}
+        result = pool.invoke(bad)
+        assert result["success"] is False and "missing" in result["err"]
+        # the same worker still serves good events afterwards
+        factory = FileArrayFactory(mount)
+        keys = Pcg32().fill(256)
+        arr = factory.create("pin", create_shape([keys.size * 4]))
+        arr.write_part(0, keys.tobytes())
+        arr.close()
+        out = pool.worker()(
+            [PartRef(arr, 0, 0, keys.size * 4)], 0, 8, "pout", factory
+        )
+        got = np.frombuffer(out.read_all(), dtype=np.uint32)
+        assert checks.check_partial(got, keys, 0, 8)
+
+
+def test_worker_pool_respawns_dead_worker(mount):
+    from gpu_radix_sort_tpu.parallel import WorkerPool
+
+    with WorkerPool(mount, size=1) as pool:
+        proc = pool._procs[0]
+        proc.kill()
+        proc.wait()
+        result = pool.invoke({"offset": 0, "width": 8, "arrType": "file",
+                              "input": [], "output": "resp"})
+        # served by a fresh worker (empty input -> empty output array)
+        assert result["success"] is True
+        assert pool._procs[0] is not proc
