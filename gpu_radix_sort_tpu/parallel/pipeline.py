@@ -37,7 +37,7 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.bits import KEY_DTYPE
-from ..ops.table import VALID_AGG_OPS, group_aggregate, hash_u32, pack_by_mask
+from ..ops.table import VALID_AGG_OPS, group_aggregate_sorted, hash_u32
 from .mesh import KEY_AXIS, key_mesh
 
 HASH_PAD = jnp.uint32(0xFFFFFFFF)
@@ -62,14 +62,30 @@ def _neutralize_tail(keys, vals, count, op):
     return keys, vals
 
 
+def _combine_sorted(keys, values, kept, merge_op):
+    """Group-aggregate over a (valid-prefix) KEY-SORTED array: rows past
+    ``kept`` are rewritten to the LAST valid key with identity values so
+    they extend the final group (preserving sortedness — unlike
+    _neutralize_tail's keys[0], which would start a duplicate group at the
+    tail of a sorted array).  Returns (uniq, agg, ngroups)."""
+    idx = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    last_key = jnp.take(keys, jnp.maximum(kept - 1, 0))
+    valid = idx < kept
+    keys = jnp.where(valid, keys, last_key)
+    values = jnp.where(valid, values, _identity(merge_op, values.dtype))
+    uniq, agg, ng = group_aggregate_sorted(keys, values, merge_op)
+    return uniq, agg, jnp.where(kept > 0, ng, 0)
+
+
 def _pipeline_shard(keys, values, row_valid, *, axis, capacity, op, predicate):
     P_ = lax.axis_size(axis)
     my = lax.axis_index(axis)
     n = keys.shape[0]
     merge_op = "sum" if op == "count" else op
 
-    # 1. filter (user predicate AND row validity — the host wrapper marks
-    # its padding rows invalid so they never contribute) -------------------
+    # 1+2. filter and local combine in ONE multi-key sort: primary key =
+    # dropped flag (valid rows pack to the front), secondary = key (the
+    # valid prefix comes out key-sorted, ready for segment aggregation).
     mask = row_valid
     if predicate is not None:
         mask = mask & predicate(keys)
@@ -78,24 +94,25 @@ def _pipeline_shard(keys, values, row_valid, *, axis, capacity, op, predicate):
         # an explicit 0 (group_aggregate's own count mode would re-count
         # every row, padding included).
         values = jnp.ones((n,), jnp.uint32)
-    keys, values, kept = pack_by_mask(mask, keys, values)
-    keys, values = _neutralize_tail(keys, values, kept, merge_op)
-
-    # 2. local combine -------------------------------------------------
-    uniq, agg, ng = group_aggregate(keys, values, merge_op)
-    ng = jnp.where(kept > 0, ng, 0)
+    dropped = (~mask).astype(jnp.uint32)
+    _, keys, values = lax.sort(
+        (dropped, keys, values), num_keys=2, is_stable=True
+    )
+    kept = mask.sum(dtype=jnp.int32)
+    uniq, agg, ng = _combine_sorted(keys, values, kept, merge_op)
     uniq, agg = _neutralize_tail(uniq, agg, ng, merge_op)
 
     # 3. order by hash; sampled splitters; exchange -------------------------
     # Hash sort key: valid rows by hash, padding forced last.  A stable sort
     # keeps valid rows (indices < ng) ahead of padding on hash ties, so the
     # first `ng` positions are exactly the valid rows even when a real hash
-    # equals HASH_PAD.
+    # equals HASH_PAD.  One multi-operand sort moves the rows directly —
+    # no permutation gathers (XLA gather ~100M elem/s, docs/PERF_NOTES.md).
     idx = jnp.arange(n, dtype=jnp.int32)
     h = jnp.where(idx < ng, hash_u32(uniq), HASH_PAD)
-    h_sorted, order = lax.sort_key_val(h, idx.astype(jnp.uint32), is_stable=True)
-    uniq_s = jnp.take(uniq, order)
-    agg_s = jnp.take(agg, order)
+    h_sorted, uniq_s, agg_s = lax.sort(
+        (h, uniq, agg), num_keys=1, is_stable=True
+    )
 
     # Regular sampling of the VALID prefix (positions i*ng/P, tiny gather).
     sample_pos = (
@@ -134,16 +151,19 @@ def _pipeline_shard(keys, values, row_valid, *, axis, capacity, op, predicate):
     recv_keys = lax.all_to_all(send_keys, axis, 0, 0, tiled=False)
     recv_aggs = lax.all_to_all(send_aggs, axis, 0, 0, tiled=False)
 
-    # 4. final merge ---------------------------------------------------
+    # 4. final merge: same fused pack+combine sort as step 1+2 -----------
     k_iota = lax.broadcasted_iota(jnp.int32, (P_, capacity), 1)
     valid = (k_iota < recv_count[:, None]).reshape(-1)
-    flat_keys = recv_keys.reshape(-1)
-    flat_aggs = recv_aggs.reshape(-1)
-    flat_keys, flat_aggs, total = pack_by_mask(valid, flat_keys, flat_aggs)
-    flat_keys, flat_aggs = _neutralize_tail(flat_keys, flat_aggs, total, merge_op)
-
-    out_keys, out_aggs, out_ng = group_aggregate(flat_keys, flat_aggs, merge_op)
-    out_ng = jnp.where(total > 0, out_ng, 0)
+    invalid = (~valid).astype(jnp.uint32)
+    _, flat_keys, flat_aggs = lax.sort(
+        (invalid, recv_keys.reshape(-1), recv_aggs.reshape(-1)),
+        num_keys=2,
+        is_stable=True,
+    )
+    total = valid.sum(dtype=jnp.int32)
+    out_keys, out_aggs, out_ng = _combine_sorted(
+        flat_keys, flat_aggs, total, merge_op
+    )
     return (
         out_keys,
         out_aggs,
