@@ -36,6 +36,11 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.bits import KEY_DTYPE
 from .exchange import PAD_KEY
+
+# Payload lanes narrower than this ride XLA sorts as extra operands (fast
+# row movement); wider payloads use permutation gathers — sort compile time
+# grows steeply with operand count (16 lanes measured at 5+ min).
+MAX_SORT_LANES = 4
 from .mesh import KEY_AXIS, key_mesh
 
 
@@ -126,9 +131,23 @@ def _sample_sort_kv_shard(local_keys, local_vals, *, axis, capacity):
     n = local_keys.shape[0]
     W = local_vals.shape[1]
 
-    idx = jnp.arange(n, dtype=jnp.uint32)
-    s, order = lax.sort_key_val(local_keys.astype(KEY_DTYPE), idx, is_stable=True)
-    vals_s = jnp.take(local_vals, order, axis=0)
+    # Narrow payloads ride the sort as extra operands (XLA sort moves rows
+    # at multi-G/s; a permutation gather runs at ~100M elem/s).  Wide
+    # payloads fall back to the gather: compile time grows steeply with
+    # sort operand count (measured: 16 lanes -> 5+ min compiles).
+    if W <= MAX_SORT_LANES:
+        lanes = tuple(local_vals[:, w] for w in range(W))
+        sorted_ops = lax.sort(
+            (local_keys.astype(KEY_DTYPE), *lanes), num_keys=1, is_stable=True
+        )
+        s = sorted_ops[0]
+        vals_s = jnp.stack(sorted_ops[1:], axis=1)
+    else:
+        idx = jnp.arange(n, dtype=jnp.uint32)
+        s, order = lax.sort_key_val(
+            local_keys.astype(KEY_DTYPE), idx, is_stable=True
+        )
+        vals_s = jnp.take(local_vals, order, axis=0)
 
     stride = max(n // P_, 1)
     sample_pos = jnp.arange(P_, dtype=jnp.int32) * stride
@@ -171,13 +190,24 @@ def _sample_sort_kv_shard(local_keys, local_vals, *, axis, capacity):
     k_iota = lax.broadcasted_iota(jnp.int32, (P_, capacity), 1)
     invalid = (k_iota >= recv_count[:, None]).astype(jnp.uint32)
     keys_masked = jnp.where(invalid.astype(bool), PAD_KEY, recv_k)
-    flat_idx = jnp.arange(P_ * capacity, dtype=jnp.uint32)
-    merged_k, _, perm = lax.sort(
-        (keys_masked.reshape(-1), invalid.reshape(-1), flat_idx),
-        num_keys=2,
-        is_stable=True,
-    )
-    merged_v = jnp.take(recv_v.reshape(P_ * capacity, W), perm, axis=0)
+    recv_rows = recv_v.reshape(P_ * capacity, W)
+    if W <= MAX_SORT_LANES:
+        recv_lanes = tuple(recv_rows[:, w] for w in range(W))
+        merged = lax.sort(
+            (keys_masked.reshape(-1), invalid.reshape(-1), *recv_lanes),
+            num_keys=2,
+            is_stable=True,
+        )
+        merged_k = merged[0]
+        merged_v = jnp.stack(merged[2:], axis=1)
+    else:
+        flat_idx = jnp.arange(P_ * capacity, dtype=jnp.uint32)
+        merged_k, _, perm = lax.sort(
+            (keys_masked.reshape(-1), invalid.reshape(-1), flat_idx),
+            num_keys=2,
+            is_stable=True,
+        )
+        merged_v = jnp.take(recv_rows, perm, axis=0)
     total = recv_count.sum().astype(jnp.int32)
     return merged_k, merged_v, total[None], lax.psum(
         overflowed.astype(jnp.int32), axis
