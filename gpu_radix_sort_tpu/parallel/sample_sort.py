@@ -36,12 +36,12 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.bits import KEY_DTYPE
 from .exchange import PAD_KEY
+from .mesh import KEY_AXIS, key_mesh
 
 # Payload lanes narrower than this ride XLA sorts as extra operands (fast
 # row movement); wider payloads use permutation gathers — sort compile time
 # grows steeply with operand count (16 lanes measured at 5+ min).
 MAX_SORT_LANES = 4
-from .mesh import KEY_AXIS, key_mesh
 
 
 def default_pair_capacity(n_local: int, nchips: int, capacity_factor: float) -> int:
@@ -135,7 +135,7 @@ def _sample_sort_kv_shard(local_keys, local_vals, *, axis, capacity):
     # at multi-G/s; a permutation gather runs at ~100M elem/s).  Wide
     # payloads fall back to the gather: compile time grows steeply with
     # sort operand count (measured: 16 lanes -> 5+ min compiles).
-    if W <= MAX_SORT_LANES:
+    if 0 < W <= MAX_SORT_LANES:
         lanes = tuple(local_vals[:, w] for w in range(W))
         sorted_ops = lax.sort(
             (local_keys.astype(KEY_DTYPE), *lanes), num_keys=1, is_stable=True
@@ -191,7 +191,7 @@ def _sample_sort_kv_shard(local_keys, local_vals, *, axis, capacity):
     invalid = (k_iota >= recv_count[:, None]).astype(jnp.uint32)
     keys_masked = jnp.where(invalid.astype(bool), PAD_KEY, recv_k)
     recv_rows = recv_v.reshape(P_ * capacity, W)
-    if W <= MAX_SORT_LANES:
+    if 0 < W <= MAX_SORT_LANES:
         recv_lanes = tuple(recv_rows[:, w] for w in range(W))
         merged = lax.sort(
             (keys_masked.reshape(-1), invalid.reshape(-1), *recv_lanes),

@@ -104,17 +104,7 @@ def invoke_subprocess(
 ) -> dict:
     """Spawn a worker process, deliver the event on stdin, parse the result
     JSON from stdout (reference: InvokeFaasDirect, invoke.go:118-171)."""
-    env = dict(os.environ)
-    env[MOUNT_ENV] = mount
-    if platform is not None:
-        env["JAX_PLATFORMS"] = platform
-        if platform != "tpu":
-            # A TPU chip has one owning process; make sure the child does
-            # not try to claim the parent's chip (site hooks register the
-            # TPU plugin in every interpreter unless this is cleared).
-            env["PALLAS_AXON_POOL_IPS"] = ""
-    if profile_dir is not None:
-        env[PROFILE_ENV] = profile_dir
+    env = _worker_env(mount, platform, profile_dir)
     proc = subprocess.run(
         [sys.executable, "-m", WORKER_MODULE],
         input=json.dumps(event).encode(),
@@ -133,6 +123,48 @@ def invoke_subprocess(
         raise RuntimeError(
             f"worker produced invalid response: {proc.stdout[-500:]!r}"
         ) from e
+
+
+def _worker_env(
+    mount: str, platform: str | None, profile_dir: str | None
+) -> dict:
+    env = dict(os.environ)
+    env[MOUNT_ENV] = mount
+    if platform is not None:
+        env["JAX_PLATFORMS"] = platform
+        if platform != "tpu":
+            # A TPU chip has one owning process; make sure the child does
+            # not try to claim the parent's chip (site hooks register the
+            # TPU plugin in every interpreter unless this is cleared).
+            env["PALLAS_AXON_POOL_IPS"] = ""
+    if profile_dir is not None:
+        env[PROFILE_ENV] = profile_dir
+    return env
+
+
+def _adapt_worker(invoke_fn):
+    """Wrap an event-invoking callable into a DistribWorker: serialize
+    refs, invoke, re-open the committed output array by name (reference:
+    InitFaasWorker, invoke.go:174-212)."""
+
+    def worker(
+        in_refs: Sequence[PartRef],
+        offset: int,
+        width: int,
+        out_name: str,
+        factory: ArrayFactory,
+    ) -> DistribArray:
+        if not isinstance(factory, FileArrayFactory):
+            raise TypeError(
+                "subprocess workers exchange data via the file backend; got "
+                f"{type(factory).__name__}"
+            )
+        result = invoke_fn(build_event(in_refs, offset, width, out_name))
+        if not result.get("success"):
+            raise RuntimeError(f"worker error: {result.get('err')}")
+        return factory.open(out_name)
+
+    return worker
 
 
 class WorkerPool:
@@ -164,75 +196,98 @@ class WorkerPool:
         self._platform = platform
         self._profile_dir = profile_dir
         self._spawn_timeout_s = spawn_timeout_s
+        self._closed = False
         self._procs: list[subprocess.Popen] = []
-        self._free: "queue.Queue[subprocess.Popen]" = queue.Queue()
+        # Queue of SLOTS: a live proc, or None meaning "spawn on demand".
+        # Failure paths return None to the queue, so the pool is never
+        # poisoned with dead handles and its capacity is conserved.
+        self._free: "queue.Queue[subprocess.Popen | None]" = queue.Queue()
         for _ in range(size):
             self._free.put(self._spawn())
 
-    def _env(self) -> dict:
-        env = dict(os.environ)
-        env[MOUNT_ENV] = self._mount
-        if self._platform is not None:
-            env["JAX_PLATFORMS"] = self._platform
-            if self._platform != "tpu":
-                env["PALLAS_AXON_POOL_IPS"] = ""
-        if self._profile_dir is not None:
-            env[PROFILE_ENV] = self._profile_dir
-        return env
+    def _reap(self, proc: subprocess.Popen) -> None:
+        if proc in self._procs:
+            self._procs.remove(proc)
+        if proc.poll() is None:
+            proc.kill()
+        proc.wait()
 
     def _spawn(self) -> subprocess.Popen:
+        import select
+        import time as _time
+
         proc = subprocess.Popen(
             [sys.executable, "-m", WORKER_MODULE, "--serve"],
             stdin=subprocess.PIPE,
             stdout=subprocess.PIPE,
-            env=self._env(),
+            env=_worker_env(self._mount, self._platform, self._profile_dir),
             text=True,
         )
-        ready = proc.stdout.readline()
-        if not ready or not json.loads(ready).get("ready"):
-            raise RuntimeError(
-                f"worker failed to start (rc={proc.poll()}): {ready!r}"
-            )
+        try:
+            deadline = _time.monotonic() + self._spawn_timeout_s
+            line = ""
+            while _time.monotonic() < deadline:
+                r, _, _ = select.select([proc.stdout], [], [], 1.0)
+                if r:
+                    line = proc.stdout.readline()
+                    break
+                if proc.poll() is not None:
+                    break
+            try:
+                ready = bool(line) and json.loads(line).get("ready")
+            except json.JSONDecodeError:
+                ready = False
+            if not ready:
+                raise RuntimeError(
+                    f"worker failed to start (rc={proc.poll()}): {line!r}"
+                )
+        except BaseException:
+            self._reap(proc)  # never leak a half-started child
+            raise
         self._procs.append(proc)
         return proc
 
     def invoke(self, event: dict) -> dict:
+        if self._closed:
+            raise RuntimeError("WorkerPool is closed")
         proc = self._free.get()
         try:
-            if proc.poll() is not None:  # died since last use: respawn
-                self._procs.remove(proc)
+            if proc is not None and proc.poll() is not None:
+                self._reap(proc)  # died since last use
+                proc = None
+            if proc is None:
                 proc = self._spawn()
             proc.stdin.write(json.dumps(event) + "\n")
             proc.stdin.flush()
             line = proc.stdout.readline()
             if not line:
-                self._procs.remove(proc)
-                dead, proc = proc, self._spawn()
+                rc = proc.poll()
+                self._reap(proc)
+                proc = None
+                raise RuntimeError(f"worker process died mid-event (rc={rc})")
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                self._reap(proc)  # stdout desynced: recycle the worker
+                proc = None
                 raise RuntimeError(
-                    f"worker process died mid-event (rc={dead.poll()})"
+                    f"worker produced invalid response: {line!r}"
                 )
-            return json.loads(line)
         finally:
-            self._free.put(proc)
+            healthy = (
+                proc is not None
+                and proc.poll() is None
+                and proc in self._procs
+            )
+            self._free.put(proc if healthy else None)
 
     def worker(self):
         """Adapt the pool into a DistribWorker."""
-
-        def run(in_refs, offset, width, out_name, factory):
-            if not isinstance(factory, FileArrayFactory):
-                raise TypeError(
-                    "subprocess workers exchange data via the file backend; "
-                    f"got {type(factory).__name__}"
-                )
-            result = self.invoke(build_event(in_refs, offset, width, out_name))
-            if not result.get("success"):
-                raise RuntimeError(f"worker error: {result.get('err')}")
-            return factory.open(out_name)
-
-        return run
+        return _adapt_worker(self.invoke)
 
     def close(self) -> None:
-        for proc in self._procs:
+        self._closed = True
+        for proc in list(self._procs):
             if proc.poll() is None:
                 proc.stdin.close()
                 try:
@@ -260,24 +315,8 @@ def make_subprocess_worker(
     InitFaasWorker, invoke.go:174-212): serialize refs, invoke, re-open the
     worker's committed output array by name."""
 
-    def worker(
-        in_refs: Sequence[PartRef],
-        offset: int,
-        width: int,
-        out_name: str,
-        factory: ArrayFactory,
-    ) -> DistribArray:
-        if not isinstance(factory, FileArrayFactory):
-            raise TypeError(
-                "subprocess workers exchange data via the file backend; got "
-                f"{type(factory).__name__}"
-            )
-        event = build_event(in_refs, offset, width, out_name)
-        result = invoke_subprocess(
+    return _adapt_worker(
+        lambda event: invoke_subprocess(
             event, mount, platform=platform, profile_dir=profile_dir
         )
-        if not result.get("success"):
-            raise RuntimeError(f"worker error: {result.get('err')}")
-        return factory.open(out_name)
-
-    return worker
+    )

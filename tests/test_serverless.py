@@ -214,3 +214,42 @@ def test_worker_pool_respawns_dead_worker(mount):
         # served by a fresh worker (empty input -> empty output array)
         assert result["success"] is True
         assert pool._procs[0] is not proc
+
+
+def test_worker_pool_recovers_capacity_after_spawn_failure(mount, monkeypatch):
+    """A failed respawn must return an empty slot to the queue (never a dead
+    handle): the next invoke retries the spawn and succeeds."""
+    from gpu_radix_sort_tpu.parallel import WorkerPool
+
+    with WorkerPool(mount, size=1) as pool:
+        proc = pool._procs[0]
+        proc.kill()
+        proc.wait()
+        # force the respawn attempt to fail once
+        real_spawn = pool._spawn
+        calls = {"n": 0}
+
+        def flaky_spawn():
+            if calls["n"] == 0:
+                calls["n"] += 1
+                raise RuntimeError("injected spawn failure")
+            return real_spawn()
+
+        monkeypatch.setattr(pool, "_spawn", flaky_spawn)
+        with pytest.raises(RuntimeError, match="injected spawn failure"):
+            pool.invoke({"offset": 0, "width": 8, "arrType": "file",
+                         "input": [], "output": "x1"})
+        # pool capacity conserved: the slot is back and usable
+        result = pool.invoke({"offset": 0, "width": 8, "arrType": "file",
+                              "input": [], "output": "x2"})
+        assert result["success"] is True
+
+
+def test_worker_pool_closed_raises(mount):
+    from gpu_radix_sort_tpu.parallel import WorkerPool
+
+    pool = WorkerPool(mount, size=1)
+    pool.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        pool.invoke({"offset": 0, "width": 8, "arrType": "file",
+                     "input": [], "output": "x"})
