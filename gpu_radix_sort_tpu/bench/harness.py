@@ -317,6 +317,34 @@ def bench_storage_distrib(
     )
 
 
+def run_scaling(
+    n_local: int = 1 << 16, *, reps: int = 3
+) -> list[BenchRecord]:
+    """Weak-scaling sweep over mesh sizes (BASELINE.json config 4's
+    measurement harness): fixed keys-per-chip, report aggregate rate and
+    efficiency vs the 1-chip rate.  Meaningful numbers need real chips;
+    on the virtual CPU mesh this validates the harness and shardings."""
+    import jax
+
+    devices = jax.devices()
+    sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= len(devices)]
+    from ..parallel.mesh import key_mesh
+
+    records = []
+    base_rate = None
+    for nd in sizes:
+        mesh = key_mesh(devices[:nd])
+        rec = bench_mesh_sample(n_local, reps=reps, mesh=mesh)
+        rec.name = f"scaling_sample_sort_{nd}chip"
+        per_chip = rec.rate_per_s / nd
+        if base_rate is None:
+            base_rate = per_chip
+        rec.extra["per_chip_rate"] = per_chip
+        rec.extra["efficiency_vs_1chip"] = per_chip / base_rate
+        records.append(rec)
+    return records
+
+
 # ---------------------------------------------------------------------------
 # Suites
 # ---------------------------------------------------------------------------
@@ -329,6 +357,8 @@ def run_benchmarks(
     per device, benchmarks.cpp:9-15)."""
     import jax
 
+    if suite == "scaling":
+        return run_scaling()
     on_tpu = jax.default_backend() == "tpu"
     if suite == "full":
         n1 = 64 << 20 if on_tpu else 1 << 22

@@ -212,7 +212,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=_cmd_sort)
 
     b = sub.add_parser("bench", help="run benchmark suite")
-    b.add_argument("--suite", choices=["quick", "full"], default="quick")
+    b.add_argument("--suite", choices=["quick", "full", "scaling"],
+                   default="quick")
     b.add_argument("--json", action="store_true")
     b.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace here")

@@ -46,7 +46,9 @@ class SortConfig:
     # File-backend root; the subprocess-worker rendezvous
     # (reference: OL_SHARED_VOLUME, benchmark.go:79).
     mount: str | None = None
-    # Worker kind for the storage-mediated path: local | subprocess.
+    # Worker kind for the storage-mediated path: local | subprocess | pool.
+    # "pool" reuses persistent worker processes across rounds (warm jit
+    # caches); "subprocess" spawns per invocation (the reference's model).
     worker: str = "local"
     # Per-round persistence (checkpoint/resume); None disables.
     checkpoint_dir: str | None = None
@@ -80,10 +82,12 @@ class SortConfig:
             raise ValueError(f"unknown exchange {self.exchange!r}")
         if self.backend not in ("mem", "file", "device"):
             raise ValueError(f"unknown backend {self.backend!r}")
-        if self.worker not in ("local", "subprocess"):
+        if self.worker not in ("local", "subprocess", "pool"):
             raise ValueError(f"unknown worker {self.worker!r}")
-        if self.worker == "subprocess" and self.backend != "file":
-            raise ValueError("subprocess workers require backend='file'")
+        if self.worker in ("subprocess", "pool") and self.backend != "file":
+            raise ValueError(
+                f"{self.worker} workers require backend='file'"
+            )
         if self.backend == "file" and not self.mount:
             raise ValueError("backend='file' requires mount")
         return self
@@ -102,11 +106,21 @@ class SortConfig:
         return FileArrayFactory(self.mount)
 
     def make_worker(self):
+        """A DistribWorker per the config.  For worker='pool' prefer
+        :meth:`make_worker_pool` (caller-managed lifetime); this method
+        returns a worker whose pool lives until process exit."""
         from ..parallel.serverless import make_subprocess_worker
         from ..parallel.storage_sort import make_local_worker
 
+        if self.worker == "pool":
+            return self.make_worker_pool().worker()
         if self.worker == "subprocess":
             return make_subprocess_worker(self.mount)
         return make_local_worker(
             None if self.strategy == "auto" else self.strategy
         )
+
+    def make_worker_pool(self):
+        from ..parallel.serverless import WorkerPool
+
+        return WorkerPool(self.mount, size=self.nworker)

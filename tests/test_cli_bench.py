@@ -161,3 +161,21 @@ def test_cli_analyze_single_and_compare(tmp_path, capsys):
     assert cli_main(["analyze", str(r1), str(r2)]) == 0
     out = capsys.readouterr().out
     assert "1.50x" in out and "new_bench" in out
+
+
+def test_config_pool_worker(tmp_path):
+    cfg = SortConfig(worker="pool", backend="file", mount=str(tmp_path))
+    cfg.validate()
+    with pytest.raises(ValueError, match="pool workers require"):
+        SortConfig(worker="pool", backend="mem").validate()
+
+
+def test_bench_scaling_suite():
+    from gpu_radix_sort_tpu.bench.harness import run_scaling
+
+    recs = run_scaling(1 << 11, reps=1)
+    assert len(recs) >= 3  # 1, 2, 4, 8 virtual devices
+    assert recs[0].extra["efficiency_vs_1chip"] == 1.0
+    for r in recs:
+        assert r.rate_per_s > 0
+        assert "per_chip_rate" in r.extra
