@@ -310,13 +310,15 @@ def sort_distributed_sample(
     *,
     mesh=None,
     capacity_factor: float = 1.5,
+    fallback: bool = True,
 ) -> np.ndarray:
     """Host-facing distributed sample sort: pads, shards, runs PSRS,
     linearizes the ragged sorted shards exactly.
 
-    Raises on capacity overflow (extremely duplicate-heavy distributions);
-    callers can retry with a larger ``capacity_factor`` or use the LSD
-    ``sort_distributed(..., exchange="gather")`` path.
+    Degenerate distributions (duplicate-heavy, or already-sorted inputs
+    where every shard is self-destined) exceed any fixed pair capacity;
+    with ``fallback=True`` such overflows retry through the exact gather
+    exchange, otherwise they raise ``OverflowError_``.
     """
     from .distributed import OverflowError_
 
@@ -335,6 +337,10 @@ def sort_distributed_sample(
     )
     shards, counts, overflow = fn(dev)
     if int(overflow) > 0:
+        if fallback:
+            from .distributed import sort_distributed
+
+            return sort_distributed(keys, mesh=mesh, exchange="gather")
         raise OverflowError_(
             "sample-sort pair capacity overflowed; increase capacity_factor "
             "or use the gather exchange for duplicate-heavy data"

@@ -36,8 +36,13 @@ def test_sample_sort_overflow_on_constant():
     keys = np.full(1 << 13, 42, dtype=np.uint32)
     with pytest.raises(distributed.OverflowError_):
         sample_sort.sort_distributed_sample(
-            keys, mesh=_mesh(), capacity_factor=1.0
+            keys, mesh=_mesh(), capacity_factor=1.0, fallback=False
         )
+    # default: overflow falls back to the exact gather exchange
+    out = sample_sort.sort_distributed_sample(
+        keys, mesh=_mesh(), capacity_factor=1.0
+    )
+    np.testing.assert_array_equal(out, keys)
 
 
 def test_sample_sort_tiny():
