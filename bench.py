@@ -53,9 +53,12 @@ def main() -> None:
     def chained(k):
         def body(i, acc):
             s = gst.sort_full(acc)
-            # data dependency across iterations defeats CSE; XOR with 0/1
-            # leaves the key distribution intact for the next sort.
-            return s ^ (i.astype(jnp.uint32) & jnp.uint32(1))
+            # Data dependency across iterations defeats CSE, and the remix
+            # must actually unsort the stream: a cheap bijection (odd-
+            # multiplier + xor-shift) re-randomizes between iterations so a
+            # data-dependent sort path can't coast on presorted input.
+            x = s * jnp.uint32(0x9E3779B1) + i.astype(jnp.uint32)
+            return x ^ (x >> jnp.uint32(16))
 
         return lax.fori_loop(0, REP, body, k)
 

@@ -287,27 +287,37 @@ def bench_storage_distrib(
 
     cfg.validate()
     keys = Pcg32().fill(n)
-    if warmup:
-        # exclude one-time jit compiles (shard shapes are pow2-padded, so a
-        # same-size run covers the cache) from the timed reps
-        sort_distrib_from_raw(
-            keys, "bench_warmup", cfg.make_factory(), cfg.make_worker(),
-            width=cfg.width, nworker=cfg.nworker,
-        )
-    times = []
-    stats = SortStats()
-    for rep in range(reps):
-        factory = cfg.make_factory()
-        worker = cfg.make_worker()
-        t0 = time.perf_counter()
-        got = sort_distrib_from_raw(
-            keys, f"bench_r{rep}", factory, worker,
-            width=cfg.width, nworker=cfg.nworker, stats=stats,
-            checkpoint_dir=cfg.checkpoint_dir,
-        )
-        times.append(time.perf_counter() - t0)
-        if not check_sort_full(got, keys):
-            raise AssertionError("storage distrib sort produced wrong output")
+    # One worker (and for worker='pool' one pool, context-managed so its
+    # processes don't outlive the bench) shared by warmup and every rep:
+    # per-rep workers would pay cold jit compiles inside the timed region
+    # and leak pool processes.
+    with contextlib.ExitStack() as stack:
+        if cfg.worker == "pool":
+            worker = stack.enter_context(cfg.make_worker_pool()).worker()
+        else:
+            worker = cfg.make_worker()
+        if warmup:
+            # exclude one-time jit compiles (shard shapes are pow2-padded,
+            # so a same-size run covers the cache) from the timed reps
+            sort_distrib_from_raw(
+                keys, "bench_warmup", cfg.make_factory(), worker,
+                width=cfg.width, nworker=cfg.nworker,
+            )
+        times = []
+        stats = SortStats()
+        for rep in range(reps):
+            factory = cfg.make_factory()
+            t0 = time.perf_counter()
+            got = sort_distrib_from_raw(
+                keys, f"bench_r{rep}", factory, worker,
+                width=cfg.width, nworker=cfg.nworker, stats=stats,
+                checkpoint_dir=cfg.checkpoint_dir,
+            )
+            times.append(time.perf_counter() - t0)
+            if not check_sort_full(got, keys):
+                raise AssertionError(
+                    "storage distrib sort produced wrong output"
+                )
     med = statistics.median(times)
     return _record(
         f"storage_{cfg.backend}_{cfg.worker}_w{cfg.width}", n, reps, med,

@@ -98,6 +98,13 @@ def _compare_exchange(vals: tuple, idx, j: int, k: int, interpret: bool):
 
 
 def _bitonic_body(n: int, operands: tuple, interpret: bool):
+    """CONTRACT: with len(operands) > 1 the comparison keys (operands[0])
+    MUST be pairwise unique.  On a tie both sides of a compare-exchange
+    resolve to the same source row (_compare_exchange's min-side keeps self,
+    max-side takes partner — same row), duplicating one secondary payload
+    and dropping the other.  Current multi-operand callers satisfy this by
+    construction (composite digit|position keys in sort_by_digits); any new
+    caller must too, or make tie selection index-symmetric first."""
     R = n // LANES
     r = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)

@@ -56,10 +56,15 @@ def partition_by_ids(
     counts[nparts]).  Run r of the output (starts = exclusive cumsum of
     counts) is partition r — the single-chip analog of one distributed
     exchange round."""
-    _, reordered = lax.sort_key_val(
+    sorted_ids, reordered = lax.sort_key_val(
         part_ids.astype(jnp.uint32), keys.astype(KEY_DTYPE), is_stable=True
     )
-    counts = jnp.bincount(part_ids.astype(jnp.int32), length=nparts)
+    # counts via searchsorted diffs over the already-sorted ids — scatter-
+    # free (bincount lowers to scatter-add, ~120M elem/s on TPU) and reuses
+    # the sort this function just paid for.
+    queries = jnp.arange(nparts + 1, dtype=jnp.uint32)
+    starts = jnp.searchsorted(sorted_ids, queries, side="left")
+    counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
     return reordered, counts
 
 

@@ -149,6 +149,7 @@ def _write_checkpoint(
             "name": name,
             "completed_step": step,
             "width": width,
+            "nworker": len(arrs),
             "arrays": [a.name for a in arrs],
         }
     )
@@ -245,9 +246,13 @@ def resume_sort_distrib(
     arrs = [factory.open(n) for n in ckpt["arrays"]]
     # Clear partial outputs of the crashed round (the round after the last
     # committed one may have created some worker arrays before dying).
+    # The crashed run's nworker may exceed the resume-time nworker — sweep
+    # up to the larger of the two so no stale '{name}.sN.wI' arrays leak
+    # (older checkpoints without the field fall back to the current value).
     nstep = TOTAL_BITS // ckpt["width"]
+    sweep = max(int(ckpt.get("nworker", nworker)), nworker)
     for s in range(ckpt["completed_step"] + 1, nstep):
-        for i in range(nworker):
+        for i in range(sweep):
             factory.destroy_named(f"{name}.s{s}.w{i}")
     return sort_distrib_from_arr(
         arrs,
