@@ -32,6 +32,38 @@ from .boundaries import compute_boundaries, digit_counts
 _DEFAULT_STRATEGY = "auto"
 _VALID = ("auto", "xla", "pallas")
 
+# Payload lanes narrower than this ride XLA sorts as extra operands (XLA
+# sort moves rows at multi-G/s; a permutation gather runs at ~100M elem/s —
+# docs/PERF_NOTES.md).  Wider payloads fall back to the gather: sort compile
+# time grows steeply with operand count (16 lanes measured at 5+ min).
+MAX_SORT_LANES = 4
+
+
+def _lanes_view(values: jnp.ndarray) -> jnp.ndarray | None:
+    """``values`` as (n, W) uint32 lanes when cheaply possible, else None.
+
+    Accepts (n, W) 4-byte-dtype lanes and (n, B) uint8 rows with B % 4 == 0
+    (bitcast, no data movement)."""
+    if values.ndim != 2:
+        return None
+    if values.dtype.itemsize == 4:
+        return jax.lax.bitcast_convert_type(values, jnp.uint32)
+    if values.dtype == jnp.uint8 and values.shape[1] % 4 == 0:
+        return jax.lax.bitcast_convert_type(
+            values.reshape(values.shape[0], -1, 4), jnp.uint32
+        )
+    return None
+
+
+def _lanes_restore(lanes: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`_lanes_view` for the sorted lanes."""
+    if like.dtype.itemsize == 4:
+        out = lanes
+        if like.dtype != jnp.uint32:
+            out = jax.lax.bitcast_convert_type(lanes, like.dtype)
+        return out
+    return jax.lax.bitcast_convert_type(lanes, jnp.uint8).reshape(like.shape)
+
 
 def set_default_strategy(name: str) -> None:
     global _DEFAULT_STRATEGY
@@ -173,6 +205,15 @@ def sort_key_value(
             keys, values, is_stable=True
         )
         return sorted_keys, sorted_vals
+    # Payloads up to MAX_SORT_LANES uint32 lanes ride the sort as extra
+    # operands — XLA moves whole rows through the sort network, bypassing
+    # the ~100M elem/s permutation gather entirely.
+    lanes = _lanes_view(values)
+    if lanes is not None and 0 < lanes.shape[1] <= MAX_SORT_LANES:
+        cols = tuple(lanes[:, w] for w in range(lanes.shape[1]))
+        sorted_ops = jax.lax.sort((keys, *cols), num_keys=1, is_stable=True)
+        out_lanes = jnp.stack(sorted_ops[1:], axis=1)
+        return sorted_ops[0], _lanes_restore(out_lanes, values)
     # Wide payloads: sort (key, row-index) pairs, then gather payload rows.
     idx = jnp.arange(keys.shape[0], dtype=jnp.uint32)
     sorted_keys, order = jax.lax.sort_key_val(keys, idx, is_stable=True)
@@ -185,9 +226,23 @@ def sort_key_value_by_digits(
     offset: int,
     width: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Stable partial (digit) sort of (key, value) rows."""
+    """Stable partial (digit) sort of (key, value) rows.  Narrow payloads
+    ride the digit sort as operands (see :func:`sort_key_value`)."""
     validate_digit_range(offset, width)
+    keys = keys.astype(KEY_DTYPE)
     digits = extract_digits(keys, offset, width)
+    if values.ndim == 1 and values.dtype.itemsize <= 4:
+        _, sk, sv = jax.lax.sort((digits, keys, values), num_keys=1,
+                                 is_stable=True)
+        return sk, sv
+    lanes = _lanes_view(values)
+    if lanes is not None and 0 < lanes.shape[1] <= MAX_SORT_LANES:
+        cols = tuple(lanes[:, w] for w in range(lanes.shape[1]))
+        sorted_ops = jax.lax.sort(
+            (digits, keys, *cols), num_keys=1, is_stable=True
+        )
+        out_lanes = jnp.stack(sorted_ops[2:], axis=1)
+        return sorted_ops[1], _lanes_restore(out_lanes, values)
     idx = jnp.arange(keys.shape[0], dtype=jnp.uint32)
     _, order = jax.lax.sort_key_val(digits, idx, is_stable=True)
     return jnp.take(keys, order), jnp.take(values, order, axis=0)

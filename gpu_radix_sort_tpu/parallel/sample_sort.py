@@ -41,7 +41,7 @@ from .mesh import KEY_AXIS, key_mesh
 # Payload lanes narrower than this ride XLA sorts as extra operands (fast
 # row movement); wider payloads use permutation gathers — sort compile time
 # grows steeply with operand count (16 lanes measured at 5+ min).
-MAX_SORT_LANES = 4
+from ..ops.radix_sort import MAX_SORT_LANES  # single source of truth
 
 
 def default_pair_capacity(n_local: int, nchips: int, capacity_factor: float) -> int:

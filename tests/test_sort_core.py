@@ -133,6 +133,41 @@ def test_sort_key_value_wide_payload():
     np.testing.assert_array_equal(np.asarray(sp), payload[order])
 
 
+@pytest.mark.parametrize("payload_bytes", [8, 16])
+def test_sort_key_value_lane_payload(payload_bytes):
+    # <= MAX_SORT_LANES u32 lanes ride the sort as operands (no gather);
+    # duplicate-heavy keys exercise the stability contract on that path.
+    n = 4099
+    keys = (Pcg32().fill(n) & np.uint32(0x3F)).astype(np.uint32)
+    payload = gst.generate_payloads(n, payload_bytes=payload_bytes)
+    sk, sp = gst.sort_key_value(keys, payload)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(sk), keys[order])
+    np.testing.assert_array_equal(np.asarray(sp), payload[order])
+
+
+def test_sort_key_value_u32_lanes():
+    n = 2048
+    keys = (Pcg32().fill(n) & np.uint32(0xFFF)).astype(np.uint32)
+    vals = np.stack([np.arange(n, dtype=np.uint32),
+                     Pcg32(state=7).fill(n)], axis=1)  # (n, 2) u32 lanes
+    sk, sv = gst.sort_key_value(keys, vals)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(sk), keys[order])
+    np.testing.assert_array_equal(np.asarray(sv), vals[order])
+
+
+def test_sort_key_value_by_digits_lane_payload():
+    n = 1111
+    keys = Pcg32().fill(n)
+    payload = gst.generate_payloads(n, payload_bytes=8)  # 2 u32 lanes
+    sk, sp = gst.sort_key_value_by_digits(keys, payload, 4, 8)
+    digits = (keys >> 4) & 0xFF
+    order = np.argsort(digits, kind="stable")
+    np.testing.assert_array_equal(np.asarray(sk), keys[order])
+    np.testing.assert_array_equal(np.asarray(sp), payload[order])
+
+
 def test_sort_key_value_by_digits():
     n = 1111
     keys = Pcg32().fill(n)
