@@ -49,6 +49,25 @@ def _pos_dtype():
     return jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
 
 
+def send_windows(padded, starts, capacity: int):
+    """Per-peer send buffer: row c = ``padded[starts[c] : starts[c]+capacity]``
+    (trailing axes carried whole).  Returns (P, capacity, *trailing).
+
+    Expressed as ``lax.map`` (a scan) rather than an unrolled Python loop of
+    P dynamic slices so HLO size and compile time are P-independent — the
+    unrolled form bloats programs at pod scale (P=64-256).  Callers
+    guarantee ``starts[c] + capacity <= padded.shape[0]`` (tail padding).
+    """
+    trailing = padded.shape[1:]
+
+    def one(b):
+        return lax.dynamic_slice(
+            padded, (b,) + (0,) * len(trailing), (capacity,) + trailing
+        )
+
+    return lax.map(one, starts.astype(jnp.int32))
+
+
 def default_capacity(n_local: int, nchips: int, capacity_factor: float) -> int:
     """Per-peer slot capacity for the padded all-to-all."""
     if nchips == 1:
@@ -117,16 +136,12 @@ def exchange_round_alltoall(
     send_count = send_bounds[1:] - send_bounds[:-1]
     overflowed = jnp.any(send_count > capacity)
 
-    # (P, capacity) send buffer: one dynamic slice per destination chip.
+    # (P, capacity) send buffer: one windowed slice per destination chip.
     # Pad the shard tail so fixed-size slices never run out of bounds.
     padded = jnp.concatenate(
         [sorted_local, jnp.full((capacity,), PAD_KEY, KEY_DTYPE)]
     )
-    send_rows = [
-        lax.dynamic_slice(padded, (send_bounds[c],), (capacity,))
-        for c in range(P_)
-    ]
-    send_keys = jnp.stack(send_rows)  # (P, C)
+    send_keys = send_windows(padded, send_bounds[:-1], capacity)  # (P, C)
 
     recv_keys = lax.all_to_all(send_keys, axis, 0, 0, tiled=False)
 

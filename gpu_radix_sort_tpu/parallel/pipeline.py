@@ -38,6 +38,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.bits import KEY_DTYPE
 from ..ops.table import VALID_AGG_OPS, group_aggregate_sorted, hash_u32
+from .exchange import send_windows
 from .mesh import KEY_AXIS, key_mesh
 
 HASH_PAD = jnp.uint32(0xFFFFFFFF)
@@ -136,12 +137,7 @@ def _pipeline_shard(keys, values, row_valid, *, axis, capacity, op, predicate):
 
     def rows(buf, fill):
         padded = jnp.concatenate([buf, jnp.full((capacity,), fill, buf.dtype)])
-        return jnp.stack(
-            [
-                lax.dynamic_slice(padded, (send_bounds[c],), (capacity,))
-                for c in range(P_)
-            ]
-        )
+        return send_windows(padded, send_bounds[:-1], capacity)
 
     send_keys = rows(uniq_s, jnp.zeros((), KEY_DTYPE))
     send_aggs = rows(agg_s, _identity(merge_op, agg_s.dtype))

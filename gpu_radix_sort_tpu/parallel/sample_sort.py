@@ -35,7 +35,7 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.bits import KEY_DTYPE
-from .exchange import PAD_KEY
+from .exchange import PAD_KEY, send_windows
 from .mesh import KEY_AXIS, key_mesh
 
 # Payload lanes narrower than this ride XLA sorts as extra operands (fast
@@ -74,12 +74,8 @@ def _sample_sort_shard(local_keys, *, axis, capacity):
     overflowed = jnp.any(send_count > capacity)
 
     padded = jnp.concatenate([s, jnp.full((capacity,), PAD_KEY, KEY_DTYPE)])
-    send_keys = jnp.stack(
-        [
-            lax.dynamic_slice(padded, (send_bounds[c],), (capacity,))
-            for c in range(P_)
-        ]
-    )  # (P, C) — rows unmasked; receiver masks by exact counts.
+    # (P, C) — rows unmasked; receiver masks by exact counts.
+    send_keys = send_windows(padded, send_bounds[:-1], capacity)
 
     counts_mat = lax.all_gather(send_count, axis)  # (P, P): [i, c] = i -> c
     recv_count = counts_mat[:, my]  # (P,)
@@ -166,14 +162,8 @@ def _sample_sort_kv_shard(local_keys, local_vals, *, axis, capacity):
     padded_v = jnp.concatenate(
         [vals_s, jnp.zeros((capacity, W), jnp.uint32)], axis=0
     )
-    send_keys = jnp.stack(
-        [lax.dynamic_slice(padded_k, (send_bounds[c],), (capacity,))
-         for c in range(P_)]
-    )  # (P, C)
-    send_vals = jnp.stack(
-        [lax.dynamic_slice(padded_v, (send_bounds[c], 0), (capacity, W))
-         for c in range(P_)]
-    )  # (P, C, W)
+    send_keys = send_windows(padded_k, send_bounds[:-1], capacity)  # (P, C)
+    send_vals = send_windows(padded_v, send_bounds[:-1], capacity)  # (P, C, W)
 
     counts_mat = lax.all_gather(send_count, axis)
     recv_count = counts_mat[:, my]
