@@ -61,6 +61,8 @@ class _DevicePartWriter(PartWriter):
 
 
 class DeviceDistribArray(DistribArray):
+    device_native = True  # capability flag: zero-copy device commit/fetch
+
     def __init__(self, name: str, shape: DistribArrayShape, device=None):
         import jax
 
@@ -68,6 +70,10 @@ class DeviceDistribArray(DistribArray):
         self._caps = shape.caps
         self._device = device or jax.devices()[0]
         self._dev_parts: list = [None] * shape.npart  # committed device data
+        # Packed commit path: one u8 backing array + per-partition offsets
+        # (zero per-partition device ops at commit time).
+        self._backing = None
+        self._offsets: list[int] | None = None
         self._lens = [0] * shape.npart  # committed lengths
         self._pending: list[bytearray] = [bytearray() for _ in range(shape.npart)]
         self._lock = threading.Lock()
@@ -84,6 +90,11 @@ class DeviceDistribArray(DistribArray):
     def _append(self, idx: int, data: bytes) -> int:
         with self._lock:
             self._check_alive()
+            if self._backing is not None:
+                raise IOError(
+                    f"{self._name}[{idx}]: array committed via "
+                    "put_device_packed; partitions are immutable"
+                )
             total = self._lens[idx] + len(self._pending[idx]) + len(data)
             if total > self._caps[idx]:
                 raise CapacityError(
@@ -113,11 +124,84 @@ class DeviceDistribArray(DistribArray):
             self._dev_parts[idx] = dev_array
             self._lens[idx] = int(dev_array.shape[0])
 
+    def put_device_packed(self, backing, lens) -> None:
+        """Commit ALL partitions at once as views over one on-device uint8
+        ``backing`` array (partition d = backing[sum(lens[:d]) : +lens[d]]).
+        The zero-host-copy, zero-per-partition-op commit path used by the
+        device-native round loop: the round's jitted sort output stays in
+        HBM and no per-bucket slicing programs are dispatched (each device
+        op costs ~27ms relay latency on the tunneled runtime —
+        docs/PERF_NOTES.md)."""
+        import jax.numpy as jnp
+
+        lens = [int(x) for x in lens]
+        with self._lock:
+            self._check_alive()
+            if any(self._lens) or any(self._pending) or self._backing is not None:
+                raise IOError(f"{self._name}: array already written")
+            if len(lens) != len(self._caps):
+                raise ValueError(
+                    f"{self._name}: {len(lens)} lens for {len(self._caps)} parts"
+                )
+            if backing.dtype != jnp.uint8 or backing.ndim != 1:
+                raise ValueError("backing must be a 1-D uint8 device array")
+            if sum(lens) != int(backing.shape[0]):
+                raise ValueError(
+                    f"{self._name}: lens sum {sum(lens)} != backing "
+                    f"{backing.shape[0]}"
+                )
+            for d, (ln, cap) in enumerate(zip(lens, self._caps)):
+                if ln > cap:
+                    raise CapacityError(
+                        f"{self._name}[{d}]: {ln} bytes exceeds cap {cap}"
+                    )
+            offs, pos = [], 0
+            for ln in lens:
+                offs.append(pos)
+                pos += ln
+            self._backing = backing
+            self._offsets = offs
+            self._lens = lens
+
+    def _part_view(self, idx: int):
+        """Committed u8 device data of a partition (None when empty/unset).
+        Packed arrays slice the backing lazily (one async device op)."""
+        if self._backing is not None:
+            ln = self._lens[idx]
+            if not ln:
+                return None
+            o = self._offsets[idx]
+            return self._backing[o : o + ln]
+        return self._dev_parts[idx]
+
+    def device_range(self, idx: int, start: int = 0, nbyte: int = -1):
+        """u8 device view of partition bytes [start, start+nbyte)
+        (nbyte < 0 = to end) — the zero-host-copy fetch path.  For packed
+        arrays this is a single lazy slice of the backing."""
+        with self._lock:
+            self._check_alive()
+            ln = self._lens[idx]
+            if nbyte < 0:
+                nbyte = ln - start
+            if start < 0 or start + nbyte > ln:
+                raise ValueError(
+                    f"{self._name}[{idx}]: range [{start}, {start + nbyte}) "
+                    f"out of committed len {ln}"
+                )
+            if self._backing is not None:
+                o = self._offsets[idx] + start
+                return self._backing[o : o + nbyte]
+            import jax.numpy as jnp
+
+            if self._dev_parts[idx] is None:
+                return jnp.zeros((0,), jnp.uint8)
+            return self._dev_parts[idx][start : start + nbyte]
+
     def device_slice(self, idx: int):
         """The committed device array for a partition (uint8[len])."""
         with self._lock:
             self._check_alive()
-            return self._dev_parts[idx]
+            return self._part_view(idx)
 
     def _flush(self) -> None:
         import jax
@@ -144,7 +228,7 @@ class DeviceDistribArray(DistribArray):
     def get_part_reader(self, part_idx: int) -> PartReader:
         with self._lock:
             self._check_alive()
-            dev = self._dev_parts[part_idx]
+            dev = self._part_view(part_idx)
             ln = self._lens[part_idx]
         if dev is None:
             return _EmptyReader()
@@ -153,7 +237,7 @@ class DeviceDistribArray(DistribArray):
     def get_part_range_reader(self, part_idx, start, end) -> PartReader:
         with self._lock:
             self._check_alive()
-            dev = self._dev_parts[part_idx]
+            dev = self._part_view(part_idx)
             ln = self._lens[part_idx]
         if end <= 0:
             end = ln + end
@@ -180,6 +264,8 @@ class DeviceDistribArray(DistribArray):
             self._destroyed = True
             self._dev_parts = []
             self._pending = []
+            self._backing = None
+            self._offsets = None
         self._on_destroy()
 
     def _on_destroy(self) -> None:  # wired by the factory
@@ -194,6 +280,8 @@ class _EmptyReader(PartReader):
 class DeviceArrayFactory(ArrayFactory):
     """Factory keeping partitions in device HBM; registry-based open-by-name
     like the memory backend."""
+
+    device_native = True  # round loops may use the zero-copy device path
 
     def __init__(self, device=None, registry: dict | None = None):
         self._device = device

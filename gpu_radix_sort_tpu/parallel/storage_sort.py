@@ -80,6 +80,66 @@ class DistribWorker(Protocol):
     ) -> DistribArray: ...
 
 
+def _device_refs(in_refs: Sequence[PartRef]) -> bool:
+    return all(getattr(r.arr, "device_native", False) for r in in_refs)
+
+
+def _local_distrib_worker_device(
+    in_refs: Sequence[PartRef],
+    offset: int,
+    width: int,
+    out_name: str,
+    factory: ArrayFactory,
+    *,
+    strategy: str | None = None,
+) -> DistribArray:
+    """Zero-host-copy round: gather on device (lazy slices of committed
+    HBM backings), jitted partial sort, commit the sorted backing via
+    ``put_device_packed`` — buckets never leave HBM between rounds.  The
+    GPU reference pays H2D+D2H every round (~46% of its partial-sort GPU
+    time, SURVEY.md §3); this path is why the device backend exists
+    (data/device.py:1-16).  Only the (2^width,) counts cross to host."""
+    import jax
+    import jax.numpy as jnp
+
+    segs = [
+        r.arr.device_range(r.part_idx, r.start, r.nbyte)
+        for r in in_refs
+        if r.nbyte > 0
+    ]
+    segs = [s for s in segs if s is not None and s.shape[0]]
+    if not segs:
+        out = factory.create(out_name, create_shape([0] * (1 << width)))
+        out.close()
+        return out
+    raw = segs[0] if len(segs) == 1 else jnp.concatenate(segs)
+    if raw.shape[0] % KEY_BYTES:
+        raise ValueError(f"gathered {raw.shape[0]} bytes, not 4-aligned")
+    keys = jax.lax.bitcast_convert_type(
+        raw.reshape(-1, KEY_BYTES), jnp.uint32
+    )
+    n = keys.shape[0]
+    # Same pow2 padding contract as the host worker (keeps jit caches warm);
+    # pad keys 0xFFFFFFFF sort to the tail of the last bucket.
+    n_pad = 1 << max(n - 1, 1).bit_length()
+    padded = jnp.concatenate(
+        [keys, jnp.full((n_pad - n,), jnp.uint32(0xFFFFFFFF), jnp.uint32)]
+    )
+    sorted_keys, counts = _jitted_sort_partial_counts()(
+        padded, offset, width, strategy=strategy
+    )
+    counts = np.asarray(jax.device_get(counts), dtype=np.int64)
+    counts[-1] -= n_pad - n
+    backing = jax.lax.bitcast_convert_type(sorted_keys[:n], jnp.uint8).reshape(
+        -1
+    )
+    caps = counts * KEY_BYTES
+    out = factory.create(out_name, create_shape(caps.tolist()))
+    out.put_device_packed(backing, caps.tolist())
+    out.close()
+    return out
+
+
 def local_distrib_worker(
     in_refs: Sequence[PartRef],
     offset: int,
@@ -91,9 +151,14 @@ def local_distrib_worker(
 ) -> DistribArray:
     """In-process TPU worker (reference: LocalDistribWorker,
     distrib.go:25-84): fetch → device partial sort → bucket-partitioned
-    output array."""
+    output array.  When the factory and every input array are device-native
+    the whole round stays in HBM (see _local_distrib_worker_device)."""
     import jax
 
+    if getattr(factory, "device_native", False) and _device_refs(in_refs):
+        return _local_distrib_worker_device(
+            in_refs, offset, width, out_name, factory, strategy=strategy
+        )
     keys = fetch_part_refs_u32(in_refs)
     n = keys.size
     # Shard sizes are data-dependent (byte-balanced splits), so jitting on
@@ -267,6 +332,32 @@ def resume_sort_distrib(
     )
 
 
+def _linearize_device(outputs: Sequence[DistribArray]):
+    """STRIDED linearization entirely on device (one concat + ONE D2H
+    transfer) when every output array is device-native; None otherwise.
+    The per-partition host reads of BucketReader would cost
+    nworker * 2^width round trips through the tunnel."""
+    if not outputs or not all(
+        getattr(a, "device_native", False) for a in outputs
+    ):
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    shapes = [a.get_shape() for a in outputs]
+    npart = max(s.npart for s in shapes)
+    segs = []
+    for d in range(npart):
+        for a, s in zip(outputs, shapes):
+            if d < s.npart and s.lens[d]:
+                segs.append(a.device_range(d))
+    if not segs:
+        return np.empty(0, np.uint32)
+    stream = segs[0] if len(segs) == 1 else jnp.concatenate(segs)
+    host = np.asarray(jax.device_get(stream))
+    return host.view(np.uint32)
+
+
 def sort_distrib_from_raw(
     keys,
     name: str,
@@ -303,8 +394,10 @@ def sort_distrib_from_raw(
     )
 
     with stats.time("linearize"):
-        raw = BucketReader(outputs, ReadOrder.STRIDED).read()
-        result = np.frombuffer(raw, dtype=np.uint32)
+        result = _linearize_device(outputs)
+        if result is None:
+            raw = BucketReader(outputs, ReadOrder.STRIDED).read()
+            result = np.frombuffer(raw, dtype=np.uint32)
     for a in outputs:
         a.destroy()
     if result.size != keys.size:

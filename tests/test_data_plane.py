@@ -231,3 +231,38 @@ def test_device_put_device_part():
     arr.close()
     assert arr.read_part(0) == bytes(range(8))
     assert arr.device_slice(0) is dev
+
+
+def test_device_put_device_packed():
+    """Packed commit: all partitions as views over one u8 backing."""
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from gpu_radix_sort_tpu.data.interface import CapacityError
+
+    f = DeviceArrayFactory()
+    arr = f.create("dev_packed", create_shape([8, 0, 12]))
+    backing = jax.device_put(jnp.arange(20, dtype=jnp.uint8))
+    arr.put_device_packed(backing, [8, 0, 12])
+    arr.close()
+    assert list(arr.get_shape().lens) == [8, 0, 12]
+    assert arr.read_part(0) == bytes(range(8))
+    assert arr.read_part(1) == b""
+    assert arr.read_part(2) == bytes(range(8, 20))
+    # device_range windows (zero-host-copy fetch path)
+    win = np.asarray(jax.device_get(arr.device_range(2, 4, 6)))
+    assert win.tobytes() == bytes(range(12, 18))
+    # packed arrays are immutable afterwards
+    with _pytest.raises(IOError):
+        arr.write_part(0, b"x")
+    with _pytest.raises(IOError):
+        arr.put_device_packed(backing, [8, 0, 12])
+    # capacity enforced
+    arr2 = f.create("dev_packed2", create_shape([4]))
+    with _pytest.raises(CapacityError):
+        arr2.put_device_packed(backing, [20])
+    # lens must cover the backing exactly
+    arr3 = f.create("dev_packed3", create_shape([64]))
+    with _pytest.raises(ValueError):
+        arr3.put_device_packed(backing, [8])
