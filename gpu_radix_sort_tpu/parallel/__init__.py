@@ -11,9 +11,12 @@ from .bucket_reader import BucketReader, ReadOrder  # noqa: F401
 from .storage_sort import (  # noqa: F401
     DistribWorker,
     local_distrib_worker,
+    local_distrib_worker_kv,
+    make_kv_worker,
     make_local_worker,
     sort_distrib_from_arr,
     sort_distrib_from_raw,
+    sort_distrib_from_raw_kv,
     resume_sort_distrib,
     load_checkpoint,
 )

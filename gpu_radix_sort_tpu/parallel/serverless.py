@@ -69,26 +69,42 @@ def wire_to_part_ref(
 
 
 def build_event(
-    refs: Sequence[PartRef], offset: int, width: int, out_name: str
+    refs: Sequence[PartRef],
+    offset: int,
+    width: int,
+    out_name: str,
+    row_bytes: int = 4,
 ) -> dict:
-    return {
+    event = {
         "offset": offset,
         "width": width,
         "arrType": "file",
         "input": [part_ref_to_wire(r) for r in refs],
         "output": out_name,
     }
+    # kv-row extension: the reference wire format is byte-blind u32 keys
+    # (inputs.go:13-28); fixed-width rows add one field, omitted for
+    # keys-only events so those stay byte-identical to the reference's.
+    if row_bytes != 4:
+        event["rowBytes"] = row_bytes
+    return event
 
 
 def handle_event(event: dict, factory: ArrayFactory) -> DistribArray:
     """Worker-side handler body (reference: f(event), faasTest/f.py:45-69):
     parse refs -> gather -> partial sort -> bucket-partitioned output."""
-    from .storage_sort import local_distrib_worker
+    from .storage_sort import local_distrib_worker, local_distrib_worker_kv
 
     if event.get("arrType", "file") != "file":
         raise ValueError(f"unsupported arrType {event.get('arrType')!r}")
     cache: dict[str, DistribArray] = {}
     refs = [wire_to_part_ref(d, factory, cache) for d in event["input"]]
+    row_bytes = int(event.get("rowBytes", 4))
+    if row_bytes != 4:
+        return local_distrib_worker_kv(
+            refs, event["offset"], event["width"], event["output"], factory,
+            row_bytes=row_bytes,
+        )
     return local_distrib_worker(
         refs, event["offset"], event["width"], event["output"], factory
     )
@@ -142,7 +158,7 @@ def _worker_env(
     return env
 
 
-def _adapt_worker(invoke_fn):
+def _adapt_worker(invoke_fn, row_bytes: int = 4):
     """Wrap an event-invoking callable into a DistribWorker: serialize
     refs, invoke, re-open the committed output array by name (reference:
     InitFaasWorker, invoke.go:174-212)."""
@@ -159,7 +175,9 @@ def _adapt_worker(invoke_fn):
                 "subprocess workers exchange data via the file backend; got "
                 f"{type(factory).__name__}"
             )
-        result = invoke_fn(build_event(in_refs, offset, width, out_name))
+        result = invoke_fn(
+            build_event(in_refs, offset, width, out_name, row_bytes)
+        )
         if not result.get("success"):
             raise RuntimeError(f"worker error: {result.get('err')}")
         return factory.open(out_name)
@@ -281,9 +299,9 @@ class WorkerPool:
             )
             self._free.put(proc if healthy else None)
 
-    def worker(self):
-        """Adapt the pool into a DistribWorker."""
-        return _adapt_worker(self.invoke)
+    def worker(self, row_bytes: int = 4):
+        """Adapt the pool into a DistribWorker (kv rows via row_bytes)."""
+        return _adapt_worker(self.invoke, row_bytes)
 
     def close(self) -> None:
         self._closed = True
@@ -310,6 +328,7 @@ def make_subprocess_worker(
     *,
     platform: str | None = "cpu",
     profile_dir: str | None = None,
+    row_bytes: int = 4,
 ):
     """Adapt subprocess invocation into a DistribWorker (reference:
     InitFaasWorker, invoke.go:174-212): serialize refs, invoke, re-open the
@@ -318,5 +337,6 @@ def make_subprocess_worker(
     return _adapt_worker(
         lambda event: invoke_subprocess(
             event, mount, platform=platform, profile_dir=profile_dir
-        )
+        ),
+        row_bytes,
     )

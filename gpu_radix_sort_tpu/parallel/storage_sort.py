@@ -35,7 +35,7 @@ from typing import Protocol, Sequence
 import numpy as np
 
 from ..data.interface import ArrayFactory, DistribArray, PartRef, create_shape
-from ..data.helpers import fetch_part_refs_u32
+from ..data.helpers import fetch_part_refs, fetch_part_refs_u32
 from ..utils.timers import SortStats
 from .bucket_reader import BucketReader, ReadOrder
 
@@ -61,6 +61,33 @@ def _jitted_sort_partial_counts():
             static_argnames=("strategy",),
         )
         _JIT_CACHE["sort_partial_counts"] = fn
+    return fn
+
+
+def _jitted_digit_order_counts():
+    """Process-wide jitted (stable digit argsort, exact digit counts) over
+    uint32 keys — the device computation of the kv-row worker (only keys
+    travel to the chip; payload rows are permuted host-side)."""
+    fn = _JIT_CACHE.get("digit_order_counts")
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        from ..ops.bits import extract_digits
+
+        def f(keys, offset, width):
+            digits = extract_digits(keys, offset, width)
+            idx = jnp.arange(keys.shape[0], dtype=jnp.uint32)
+            sorted_digits, order = lax.sort_key_val(
+                digits, idx, is_stable=True
+            )
+            queries = jnp.arange((1 << width) + 1, dtype=jnp.uint32)
+            starts = jnp.searchsorted(sorted_digits, queries, side="left")
+            return order, (starts[1:] - starts[:-1]).astype(jnp.int32)
+
+        fn = jax.jit(f, static_argnums=(1, 2))
+        _JIT_CACHE["digit_order_counts"] = fn
     return fn
 
 
@@ -190,14 +217,15 @@ def local_distrib_worker(
 
 
 def _split_refs(
-    arrs: Sequence[DistribArray], nworker: int
+    arrs: Sequence[DistribArray], nworker: int, row_bytes: int = KEY_BYTES
 ) -> list[list[PartRef]]:
     """Byte-balanced shard split of the STRIDED bucket merge (reference:
-    distrib.go:113-140), rounded to whole uint32 keys."""
+    distrib.go:113-140), rounded to whole rows (uint32 keys, or fixed-width
+    key+payload rows for the kv plane)."""
     reader = BucketReader(arrs, ReadOrder.STRIDED)
     total = reader.total_bytes
     per_worker = math.ceil(total / max(nworker, 1))
-    per_worker += (-per_worker) % KEY_BYTES
+    per_worker += (-per_worker) % row_bytes
     return [reader.read_ref(per_worker) for _ in range(nworker)]
 
 
@@ -206,7 +234,8 @@ def _checkpoint_path(checkpoint_dir: str, name: str) -> str:
 
 
 def _write_checkpoint(
-    checkpoint_dir: str, name: str, step: int, width: int, arrs
+    checkpoint_dir: str, name: str, step: int, width: int, arrs,
+    row_bytes: int = KEY_BYTES,
 ) -> None:
     os.makedirs(checkpoint_dir, exist_ok=True)
     payload = json.dumps(
@@ -215,6 +244,7 @@ def _write_checkpoint(
             "completed_step": step,
             "width": width,
             "nworker": len(arrs),
+            "row_bytes": row_bytes,
             "arrays": [a.name for a in arrs],
         }
     )
@@ -245,6 +275,7 @@ def sort_distrib_from_arr(
     start_step: int = 0,
     stats: SortStats | None = None,
     checkpoint_dir: str | None = None,
+    row_bytes: int = KEY_BYTES,
 ) -> list[DistribArray]:
     """The bulk-synchronous round loop (reference: SortDistribFromArr,
     distrib.go:90-176).  Consumes (destroys) ``inputs``; returns the final
@@ -267,7 +298,7 @@ def sort_distrib_from_arr(
     for step in range(start_step, nstep):
         offset = step * width
         with stats.time("split"):
-            shards = _split_refs(arrs, nworker)
+            shards = _split_refs(arrs, nworker, row_bytes)
         with stats.time("workers"):
             with ThreadPoolExecutor(max_workers=nworker) as pool:
                 futures = [
@@ -284,7 +315,9 @@ def sort_distrib_from_arr(
                 outputs = [f.result() for f in futures]
         if checkpoint_dir is not None:
             with stats.time("checkpoint"):
-                _write_checkpoint(checkpoint_dir, name, step, width, outputs)
+                _write_checkpoint(
+                    checkpoint_dir, name, step, width, outputs, row_bytes
+                )
         with stats.time("destroy"):
             for a in arrs:
                 a.destroy()
@@ -329,6 +362,7 @@ def resume_sort_distrib(
         start_step=ckpt["completed_step"] + 1,
         stats=stats,
         checkpoint_dir=checkpoint_dir,
+        row_bytes=int(ckpt.get("row_bytes", KEY_BYTES)),
     )
 
 
@@ -405,6 +439,145 @@ def sort_distrib_from_raw(
             f"linearized {result.size} keys, expected {keys.size}"
         )
     return result
+
+
+def local_distrib_worker_kv(
+    in_refs: Sequence[PartRef],
+    offset: int,
+    width: int,
+    out_name: str,
+    factory: ArrayFactory,
+    *,
+    row_bytes: int,
+) -> DistribArray:
+    """KV-row worker: rows are fixed-width [4B uint32 key | payload] byte
+    records moving through the byte-blind plane (the reference's data plane
+    is type-blind bytes throughout — benchmark/pkg/data/file.go; its worker
+    only ever interpreted them as u32 keys, distrib.go:25-84).
+
+    TPU-native division of labor: only the 4B keys travel to the chip (the
+    stable digit argsort + exact counts run jitted on device); payload rows
+    are permuted host-side by the returned order, next to the storage they
+    came from — shipping W-byte payloads through the host<->device link to
+    sort on a 4B key would multiply transfer volume by (W+4)/4 for zero
+    compute benefit.
+    """
+    if row_bytes <= KEY_BYTES:
+        raise ValueError(f"row_bytes must exceed {KEY_BYTES}, got {row_bytes}")
+    import jax
+
+    buf = fetch_part_refs(in_refs)
+    if len(buf) % row_bytes:
+        raise ValueError(
+            f"gathered {len(buf)} bytes, not a multiple of row_bytes "
+            f"{row_bytes}"
+        )
+    rows = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(-1, row_bytes)
+    n = rows.shape[0]
+    keys = np.ascontiguousarray(rows[:, :KEY_BYTES]).view(np.uint32).reshape(-1)
+    # Same pow2-padding contract as the keys-only worker: pad keys
+    # 0xFFFFFFFF have the maximal digit at any (offset, width), so the
+    # stable argsort puts every pad index at the global tail — order[:n]
+    # is exactly the permutation of the real rows.
+    n_pad = 1 << max(n - 1, 1).bit_length()
+    padded = np.full(n_pad, 0xFFFFFFFF, dtype=np.uint32)
+    padded[:n] = keys
+    order, counts = _jitted_digit_order_counts()(padded, offset, width)
+    order = np.asarray(jax.device_get(order))
+    counts = np.asarray(jax.device_get(counts), dtype=np.int64)
+    counts[-1] -= n_pad - n
+
+    rows_sorted = rows[order[:n]]  # host permutation of full rows
+    caps = counts * row_bytes
+    out = factory.create(out_name, create_shape(caps.tolist()))
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    flat = memoryview(rows_sorted.reshape(-1))
+    for d in range(1 << width):
+        lo = int(offsets[d]) * row_bytes
+        hi = int(offsets[d + 1]) * row_bytes
+        if hi > lo:
+            out.write_part(d, flat[lo:hi])
+    out.close()
+    return out
+
+
+def sort_distrib_from_raw_kv(
+    keys,
+    payload,
+    name: str,
+    factory: ArrayFactory,
+    worker: DistribWorker | None = None,
+    *,
+    width: int = 8,
+    nworker: int = 2,
+    stats: SortStats | None = None,
+    checkpoint_dir: str | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Storage-mediated distributed stable key-value sort (BASELINE.json
+    config 3's engine): interleave keys with fixed-width payload rows, run
+    the multi-round loop through the byte-blind plane, split the linearized
+    rows back.  ``payload``: (n, B) uint8.  Returns (sorted_keys,
+    payload_in_sorted_order) matching a stable single-host kv sort.
+    """
+    keys = np.ascontiguousarray(keys, dtype=np.uint32)
+    payload = np.ascontiguousarray(payload, dtype=np.uint8)
+    n = keys.size
+    if payload.ndim != 2 or payload.shape[0] != n:
+        raise ValueError(
+            f"payload must be (n, B) uint8 with n == len(keys); got "
+            f"{payload.shape} for n={n}"
+        )
+    row_bytes = KEY_BYTES + payload.shape[1]
+    stats = stats if stats is not None else SortStats()
+    if worker is None:
+        worker = make_kv_worker(row_bytes)
+
+    with stats.time("stage_input"):
+        rows = np.empty((n, row_bytes), dtype=np.uint8)
+        rows[:, :KEY_BYTES] = keys.view(np.uint8).reshape(n, KEY_BYTES)
+        rows[:, KEY_BYTES:] = payload
+        arr_in = factory.create(
+            f"{name}.input", create_shape([n * row_bytes])
+        )
+        arr_in.write_part(0, memoryview(rows.reshape(-1)))
+        arr_in.close()
+
+    outputs = sort_distrib_from_arr(
+        [arr_in],
+        name,
+        factory,
+        worker,
+        width=width,
+        nworker=nworker,
+        stats=stats,
+        checkpoint_dir=checkpoint_dir,
+        row_bytes=row_bytes,
+    )
+
+    with stats.time("linearize"):
+        raw = BucketReader(outputs, ReadOrder.STRIDED).read()
+        got = np.frombuffer(raw, dtype=np.uint8).reshape(-1, row_bytes)
+    for a in outputs:
+        a.destroy()
+    if got.shape[0] != n:
+        raise IOError(f"linearized {got.shape[0]} rows, expected {n}")
+    out_keys = np.ascontiguousarray(got[:, :KEY_BYTES]).view(
+        np.uint32
+    ).reshape(-1)
+    out_payload = np.ascontiguousarray(got[:, KEY_BYTES:])
+    return out_keys, out_payload
+
+
+def make_kv_worker(row_bytes: int) -> DistribWorker:
+    """A kv-row DistribWorker with the row width pinned (the round loop's
+    worker signature stays the reference's 5-argument contract)."""
+
+    def worker(in_refs, offset, width, out_name, factory):
+        return local_distrib_worker_kv(
+            in_refs, offset, width, out_name, factory, row_bytes=row_bytes
+        )
+
+    return worker
 
 
 def make_local_worker(strategy: str | None = None) -> DistribWorker:

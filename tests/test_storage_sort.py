@@ -211,6 +211,136 @@ def test_sort_distrib_stats():
 
 
 # ---------------------------------------------------------------------------
+# KV rows through the byte-blind plane (BASELINE config 3 machinery)
+# ---------------------------------------------------------------------------
+
+def _kv_rows(n, payload_bytes, *, dup_mask=None, seed_keys=None):
+    keys = seed_keys if seed_keys is not None else Pcg32().fill(n)
+    if dup_mask is not None:
+        keys = (keys & np.uint32(dup_mask)).astype(np.uint32)
+    # payload row r encodes its original index (stability witness)
+    payload = np.zeros((n, payload_bytes), dtype=np.uint8)
+    idx_bytes = np.arange(n, dtype=np.uint32).view(np.uint8).reshape(n, 4)
+    payload[:, : min(4, payload_bytes)] = idx_bytes[:, : min(4, payload_bytes)]
+    if payload_bytes > 4:
+        payload[:, 4:] = (np.arange(n, dtype=np.uint64)[:, None] % 251).astype(
+            np.uint8
+        )
+    return keys, payload
+
+
+def test_kv_worker_one_round(factory):
+    from gpu_radix_sort_tpu.parallel import local_distrib_worker_kv
+
+    n, pb = 1021, 12
+    keys, payload = _kv_rows(n, pb, dup_mask=0xFFF)
+    row_bytes = 4 + pb
+    rows = np.empty((n, row_bytes), dtype=np.uint8)
+    rows[:, :4] = keys.view(np.uint8).reshape(n, 4)
+    rows[:, 4:] = payload
+    arr = factory.create("kvin", create_shape([n * row_bytes]))
+    arr.write_part(0, rows.tobytes())
+    arr.close()
+    refs = BucketReader([arr], ReadOrder.STRIDED).read_ref(n * row_bytes)
+
+    out = local_distrib_worker_kv(
+        refs, 8, 8, "kvout", factory, row_bytes=row_bytes
+    )
+    shape = out.get_shape()
+    assert shape.npart == 256
+    want_counts = checks.true_bucket_counts(keys, 8, 8)
+    np.testing.assert_array_equal(
+        np.array(shape.lens) // row_bytes, want_counts
+    )
+    got = np.frombuffer(out.read_all(), dtype=np.uint8).reshape(-1, row_bytes)
+    got_keys = np.ascontiguousarray(got[:, :4]).view(np.uint32).reshape(-1)
+    order = np.argsort((keys >> 8) & 0xFF, kind="stable")
+    np.testing.assert_array_equal(got_keys, keys[order])
+    np.testing.assert_array_equal(got[:, 4:], payload[order])
+
+
+@pytest.mark.parametrize("payload_bytes,width,nworker", [
+    (12, 8, 2),   # 16B rows, reference round structure
+    (5, 8, 3),    # 9B rows: odd row width through the byte-blind plane
+    (12, 4, 2),   # 8 rounds
+])
+def test_sort_distrib_from_raw_kv(factory, payload_bytes, width, nworker):
+    from gpu_radix_sort_tpu.parallel import sort_distrib_from_raw_kv
+
+    n = 1111
+    keys, payload = _kv_rows(n, payload_bytes, dup_mask=0x3FF)  # many dups
+    gk, gp = sort_distrib_from_raw_kv(
+        keys, payload, "kve2e", factory, width=width, nworker=nworker
+    )
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(gk, keys[order])
+    np.testing.assert_array_equal(gp, payload[order])
+
+
+def test_kv_subprocess_worker(tmp_path):
+    """kv rows over the JSON wire protocol + file plane (rowBytes field)."""
+    from gpu_radix_sort_tpu.parallel import sort_distrib_from_raw_kv
+    from gpu_radix_sort_tpu.parallel.serverless import make_subprocess_worker
+
+    mount = str(tmp_path / "shared")
+    factory = FileArrayFactory(mount)
+    n, pb = 257, 8
+    keys, payload = _kv_rows(n, pb, dup_mask=0xFF)
+    worker = make_subprocess_worker(mount, row_bytes=4 + pb)
+    gk, gp = sort_distrib_from_raw_kv(
+        keys, payload, "kvproc", factory, worker, width=16, nworker=2
+    )
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(gk, keys[order])
+    np.testing.assert_array_equal(gp, payload[order])
+
+
+def test_kv_checkpoint_resume(tmp_path):
+    """row_bytes survives the manifest; resume completes a kv sort."""
+    from gpu_radix_sort_tpu.parallel import (
+        make_kv_worker,
+        sort_distrib_from_arr,
+    )
+
+    factory = FileArrayFactory(str(tmp_path / "arrays"))
+    ckpt_dir = str(tmp_path / "ckpt")
+    n, pb = 513, 12
+    row_bytes = 4 + pb
+    keys, payload = _kv_rows(n, pb)
+    rows = np.empty((n, row_bytes), dtype=np.uint8)
+    rows[:, :4] = keys.view(np.uint8).reshape(n, 4)
+    rows[:, 4:] = payload
+    arr_in = factory.create("kvck.input", create_shape([n * row_bytes]))
+    arr_in.write_part(0, rows.tobytes())
+    arr_in.close()
+
+    kv_worker = make_kv_worker(row_bytes)
+
+    def crashing(refs, offset, width, out_name, fac):
+        if out_name == "kvck.s2.w0":
+            raise RuntimeError("injected crash")
+        return kv_worker(refs, offset, width, out_name, fac)
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sort_distrib_from_arr(
+            [arr_in], "kvck", factory, crashing,
+            width=8, nworker=2, checkpoint_dir=ckpt_dir, row_bytes=row_bytes,
+        )
+    manifest = load_checkpoint(ckpt_dir, "kvck")
+    assert manifest["row_bytes"] == row_bytes
+
+    outputs = resume_sort_distrib(
+        "kvck", factory, kv_worker, ckpt_dir, nworker=2
+    )
+    raw = BucketReader(outputs, ReadOrder.STRIDED).read()
+    got = np.frombuffer(raw, dtype=np.uint8).reshape(-1, row_bytes)
+    got_keys = np.ascontiguousarray(got[:, :4]).view(np.uint32).reshape(-1)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(got_keys, keys[order])
+    np.testing.assert_array_equal(got[:, 4:], payload[order])
+
+
+# ---------------------------------------------------------------------------
 # Checkpoint / resume
 # ---------------------------------------------------------------------------
 
