@@ -99,6 +99,42 @@ def test_nondivisible_sizes_padded():
         np.testing.assert_array_equal(out, np.sort(keys))
 
 
+def test_destination_math_beyond_2e31():
+    """x64 metadata math for n_global >= 2^31 (the >=4B-row regime): run
+    starts and slice counts must come out exact where int32 would wrap.
+    Oracle: Python big-int arithmetic on the same (P, D) counts."""
+    P_, D = 4, 16
+    per = (1 << 30) + 12_345  # n_global = 4*per > 2^32
+    rng = np.random.default_rng(3)
+    counts = rng.multinomial(per, [1 / D] * D, size=P_).astype(np.int64)
+
+    with jax.enable_x64():
+        S = np.asarray(ex._run_starts_global(jnp.asarray(counts)))
+        assert S.dtype == np.int64
+
+        # Oracle in pure Python ints
+        totals = counts.sum(axis=0)
+        base = np.concatenate([[0], np.cumsum(totals)[:-1]])
+        off = np.cumsum(counts, axis=0) - counts
+        want_S = base[None, :] + off
+        np.testing.assert_array_equal(S, want_S)
+        assert int(S.max()) > 2**31  # the regime int32 cannot represent
+
+        # slice counts at a > 2^31 bound: how many of chip 1's elements land
+        # below the bound
+        bound = 3 * (1 << 30)  # 3.2e9-ish
+        got = int(
+            ex._slice_counts(
+                jnp.asarray(want_S[1]), jnp.asarray(counts[1]), jnp.int64(bound)
+            )
+        )
+        want = sum(
+            max(0, min(bound - int(s), int(c)))
+            for s, c in zip(want_S[1], counts[1])
+        )
+        assert got == want
+
+
 def test_invalid_width_rejected():
     with pytest.raises(ValueError):
         distributed.sort_distributed(Pcg32().fill(64), mesh=_mesh(), width=5)
