@@ -1,0 +1,333 @@
+"""Pallas radix digit-binning engine: HBM-scale stable digit sorts.
+
+TPU-native counterpart of the reference's radix core — the per-block digit
+sort (gpu_radix_sort_local, libsort/sort.cu:29-184), the Blelloch scan of
+per-block digit counts (scan.cu:165-250), and the global shuffle
+(gpu_glbl_shuffle, sort.cu:186-213) — re-architected for hardware where
+fine-grained scatter is unavailable (in-kernel scatter unsupported, XLA
+scatter ~120M elem/s; docs/PERF_NOTES.md):
+
+    stage A   per-tile stable digit sort: XLA row sort over (n_tiles, TILE)
+              — one comparison network per tile at multi-G keys/s (the
+              reference's per-block shared-memory sort, minus its 2-bit
+              width limit: a GPU shmem artifact)
+    metadata  per-tile digit starts via vectorized searchsorted; global
+              run destinations via one exclusive cumsum over the (D,
+              n_tiles) counts in output order (the reference's
+              scan-of-block-sums, scan.cu, collapsed to one XLA cumsum —
+              grids here are thousands of tiles, not millions of blocks)
+    stage B   Pallas binning kernel, one program per B_OUT-key output
+              block: GATHER-side reconstruction.  Each block DMAs in the
+              run fragments that land in it (8-row chunks into slot
+              buffers, NSLOT fragments in flight), rotates each fragment
+              to its destination phase in-register (dynamic rotation =
+              conditional static rolls; Mosaic has no dynamic shifts),
+              masks, and accumulates.  Writes are whole sequential blocks.
+
+Why gather-side: a scatter-side formulation (each tile DMA-ing its runs
+out) must read-modify-write the boundary blocks that two runs share, which
+imposes a global write order across grid steps (digit regions interleave
+tiles); reading is order-free, so the gather form is race-free by
+construction and exact under ANY digit distribution — skew only adds loop
+iterations, never wrong bytes.
+
+Stability: stage A is a stable sort and output order is (digit, tile,
+within-tile rank), i.e. exactly the stable digit order of the input.
+
+Sizes: n is padded to a whole number of tiles with 0xFFFFFFFF (maximal
+digit at any window — pads land at the global tail and are sliced off).
+Digit widths wider than PASS_WIDTH run as stable LSD subpasses.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+
+from .bits import KEY_DTYPE, extract_digits, validate_digit_range
+from .pallas_merge import _flat_rot_left
+from .pallas_sort import LANES, _interpret, _tpu_roll
+
+PAD = np.uint32(0xFFFFFFFF)
+
+PASS_WIDTH = 4  # digits per binning pass (D=16 keeps fragment counts low)
+TILE = 1 << 16  # stage-A tile (keys); tune measured on chip
+B_OUT = 1 << 13  # stage-B output block (keys)
+NSLOT = 8  # fragment DMA slots in flight per block
+CHUNK_ROWS = 8  # DMA granularity (min legal row count)
+
+
+def _slot_rows(b_out: int) -> int:
+    """Fragment staging rows: a fragment is < b_out keys plus <1 row of
+    phase slack, rounded up to whole CHUNK_ROWS chunks."""
+    raw = b_out // LANES + 1 + (CHUNK_ROWS - 1)
+    return (raw // CHUNK_ROWS) * CHUNK_ROWS
+
+
+# ---------------------------------------------------------------------------
+# Stage A: per-tile stable digit sort (XLA row sort)
+# ---------------------------------------------------------------------------
+
+def tile_digit_sort(keys_t: jnp.ndarray, offset: int, width: int):
+    """Stably sort each row of (n_tiles, TILE) by its digit; returns
+    (sorted_keys (n_tiles, TILE), starts (n_tiles, D+1) int32) where
+    starts[t, d] is the within-tile start of digit d's run."""
+    digits = extract_digits(keys_t, offset, width)
+    sorted_digits, sorted_keys = lax.sort(
+        (digits, keys_t), dimension=1, num_keys=1, is_stable=True
+    )
+    queries = jnp.arange((1 << width) + 1, dtype=sorted_digits.dtype)
+    starts = jax.vmap(
+        lambda row: jnp.searchsorted(row, queries, side="left")
+    )(sorted_digits)
+    return sorted_keys, starts.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Metadata: run destinations + per-block fragment ranges (XLA)
+# ---------------------------------------------------------------------------
+
+def _binning_metadata(starts: jnp.ndarray, tile: int, b_out: int, n_pad: int):
+    """Runs are the (digit, tile) segments of the tile-sorted array, in
+    OUTPUT order k = d * n_tiles + t.  Returns
+      g_run (n_runs+1,)  destination start of run k (g_run[-1] = n_pad);
+                         run k's length is g_run[k+1] - g_run[k]
+      sflat (n_runs,)    source flat position of run k in the tile-sorted
+                         array (t * tile + starts[t, d])
+      k0    (nblocks,)   first run intersecting each output block
+      nfrag (nblocks,)   number of runs intersecting each output block
+    All int32 — single-chip n < 2^31 (the distributed paths own the >2^31
+    regime via their x64 metadata, parallel/exchange.py)."""
+    n_tiles = starts.shape[0]
+    counts = starts[:, 1:] - starts[:, :-1]  # (n_tiles, D)
+    ct = counts.T.reshape(-1)  # run order (d, t)
+    g_run = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(ct, dtype=jnp.int32)]
+    )
+    tbase = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    sflat = (starts[:, :-1].T + tbase[None, :]).reshape(-1)
+
+    nblocks = n_pad // b_out
+    jb = jnp.arange(nblocks, dtype=jnp.int32) * b_out
+    ends = g_run[1:]
+    k0 = jnp.searchsorted(ends, jb, side="right").astype(jnp.int32)
+    k1 = jnp.searchsorted(g_run[:-1], jb + b_out, side="left").astype(
+        jnp.int32
+    )
+    return g_run, sflat, k0, k1 - k0
+
+
+# ---------------------------------------------------------------------------
+# Stage B: binning kernel
+# ---------------------------------------------------------------------------
+
+def _rot_rows_left(win, dr, srows: int, interpret: bool):
+    """Cyclic row rotation left by dynamic dr in [0, srows): conditional
+    static rolls by powers of two (sum of chosen powers == dr < srows)."""
+    roll = jnp.roll if interpret else _tpu_roll
+    i = 0
+    while (1 << i) < srows:
+        rolled = roll(win, -(1 << i), 0)
+        win = jnp.where(((dr >> i) & 1) == 1, rolled, win)
+        i += 1
+    return win
+
+
+def _rot_lanes_left(win, dl, interpret: bool):
+    """Flat rotation left by dynamic dl in [0, 128): 7 conditional static
+    flat rotations (lane roll with row carry)."""
+    for i in range(7):
+        rolled = _flat_rot_left(win, 1 << i, interpret)
+        win = jnp.where(((dl >> i) & 1) == 1, rolled, win)
+    return win
+
+
+def _bin_kernel(
+    k0_ref, nfrag_ref, g_ref, s_ref,  # scalar prefetch
+    x_hbm, o_ref, acc, slots, sems, *, b_out: int, interpret: bool,
+):
+    from jax.experimental.pallas import tpu as pltpu
+
+    j = pl.program_id(0)
+    b_rows = b_out // LANES
+    srows = _slot_rows(b_out)
+    S = srows * LANES
+    max_chunks = srows // CHUNK_ROWS
+    jb = j * b_out
+    k0j = k0_ref[j]
+    nf = nfrag_ref[j]
+    acc[...] = jnp.zeros((b_rows, LANES), KEY_DTYPE)
+
+    def frag_params(k):
+        g_k = g_ref[k]
+        end_k = g_ref[k + 1]
+        lo = jnp.maximum(g_k, jb)
+        hi = jnp.minimum(end_k, jb + b_out)
+        ln = jnp.maximum(hi - lo, 0)
+        src0 = s_ref[k] + (lo - g_k)
+        r0 = src0 // LANES
+        phase = src0 - r0 * LANES
+        rows = (phase + ln + LANES - 1) // LANES
+        chunks = (rows + CHUNK_ROWS - 1) // CHUNK_ROWS
+        return ln, r0, phase, chunks, lo - jb
+
+    def chunk_copy(u: int, r0, q: int):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(r0 + q * CHUNK_ROWS, CHUNK_ROWS), :],
+            slots.at[u, pl.ds(q * CHUNK_ROWS, CHUNK_ROWS), :],
+            sems.at[u, q],
+        )
+
+    def wave(w, carry):
+        base = k0j + w * NSLOT
+        for u in range(NSLOT):
+            @pl.when(w * NSLOT + u < nf)
+            def _(u=u):
+                ln, r0, phase, chunks, dst0 = frag_params(base + u)
+                for q in range(max_chunks):
+                    @pl.when((q < chunks) & (ln > 0))
+                    def _(q=q):
+                        chunk_copy(u, r0, q).start()
+
+        for u in range(NSLOT):
+            @pl.when(w * NSLOT + u < nf)
+            def _(u=u):
+                ln, r0, phase, chunks, dst0 = frag_params(base + u)
+                for q in range(max_chunks):
+                    @pl.when((q < chunks) & (ln > 0))
+                    def _(q=q):
+                        chunk_copy(u, r0, q).wait()
+
+                @pl.when(ln > 0)
+                def _():
+                    win = slots[u]
+                    # place [phase, phase+ln) at [dst0, dst0+ln): left-rot
+                    # by delta, split into lane part + row part.
+                    delta = jnp.mod(phase - dst0, S)
+                    dl = jnp.mod(delta, LANES)
+                    dr = delta // LANES  # in [0, srows)
+                    win = _rot_lanes_left(win, dl, interpret)
+                    win = _rot_rows_left(win, dr, srows, interpret)
+                    rr = lax.broadcasted_iota(jnp.int32, (b_rows, LANES), 0)
+                    cc = lax.broadcasted_iota(jnp.int32, (b_rows, LANES), 1)
+                    pos = rr * LANES + cc
+                    m = (pos >= dst0) & (pos < dst0 + ln)
+                    acc[...] = jnp.where(m, win[:b_rows], acc[...])
+
+        return carry
+
+    nwaves = (nf + NSLOT - 1) // NSLOT
+    lax.fori_loop(0, nwaves, wave, 0)
+    o_ref[...] = acc[...]
+
+
+@functools.lru_cache(maxsize=None)
+def _bin_call(nblocks: int, b_out: int, interpret: bool):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b_rows = b_out // LANES
+    srows = _slot_rows(b_out)
+    kernel = functools.partial(_bin_kernel, b_out=b_out, interpret=interpret)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(nblocks,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((b_rows, LANES), lambda j, *_: (j, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((b_rows, LANES), KEY_DTYPE),  # block accumulator
+                pltpu.VMEM((NSLOT, srows, LANES), KEY_DTYPE),  # frag slots
+                pltpu.SemaphoreType.DMA((NSLOT, srows // CHUNK_ROWS)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nblocks * b_rows, LANES), KEY_DTYPE),
+        interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def binning_pass(
+    keys: jnp.ndarray,
+    offset: int,
+    width: int,
+    *,
+    tile: int = TILE,
+    b_out: int = B_OUT,
+) -> jnp.ndarray:
+    """One stable binning pass by bits [offset, offset+width).  ``width``
+    must keep D = 2^width small (fragment count per block grows with D);
+    wider windows should go through :func:`sort_by_digits_large`."""
+    validate_digit_range(offset, width)
+    if tile % b_out:
+        raise ValueError(f"tile {tile} must be a multiple of b_out {b_out}")
+    if b_out % (CHUNK_ROWS * LANES):
+        raise ValueError(f"b_out {b_out} must be a multiple of 1024")
+    n = keys.shape[0]
+    if n == 0:
+        return keys.astype(KEY_DTYPE)
+    n_pad = max(-(-n // tile) * tile, tile)
+    padded = jnp.concatenate(
+        [keys.astype(KEY_DTYPE), jnp.full((n_pad - n,), PAD, KEY_DTYPE)]
+    )
+    n_tiles = n_pad // tile
+    sorted_t, starts = tile_digit_sort(
+        padded.reshape(n_tiles, tile), offset, width
+    )
+    g_run, sflat, k0, nfrag = _binning_metadata(starts, tile, b_out, n_pad)
+    x = jnp.concatenate(
+        [
+            sorted_t.reshape(-1, LANES),
+            # chunk-granularity DMA may overread past the last row
+            jnp.full((CHUNK_ROWS, LANES), PAD, KEY_DTYPE),
+        ]
+    )
+    out = _bin_call(n_pad // b_out, b_out, _interpret())(
+        k0, nfrag, g_run, sflat, x
+    )
+    return out.reshape(-1)[:n]
+
+
+def sort_by_digits_large(
+    keys: jnp.ndarray,
+    offset: int,
+    width: int,
+    *,
+    tile: int = TILE,
+    b_out: int = B_OUT,
+) -> jnp.ndarray:
+    """Stable sort by bits [offset, offset+width) as LSD subpasses of
+    PASS_WIDTH bits (stable subpasses compose to a stable sort of the whole
+    window — the reference realizes width the same way as 2-bit LSD passes,
+    sort.cu:322-344)."""
+    validate_digit_range(offset, width)
+    done = 0
+    while done < width:
+        w = min(PASS_WIDTH, width - done)
+        keys = binning_pass(
+            keys, offset + done, w, tile=tile, b_out=b_out
+        )
+        done += w
+    return keys
+
+
+# Measured dispatch window (set after on-chip measurement; see
+# docs/PERF_NOTES.md round-2 addendum).  The engine is exact at any size;
+# "auto" routes only sizes where it beats lax.sort_key_val device-true.
+AUTO_MIN_N = 1 << 22
+
+
+def supported_auto(n: int, width: int) -> bool:
+    return (
+        n >= AUTO_MIN_N
+        and width <= 16
+        and not _interpret()
+    )

@@ -30,7 +30,7 @@ from .bits import KEY_DTYPE, extract_digits, validate_digit_range
 from .boundaries import compute_boundaries, digit_counts
 
 _DEFAULT_STRATEGY = "auto"
-_VALID = ("auto", "xla", "pallas")
+_VALID = ("auto", "xla", "pallas", "pallas_radix")
 
 # Payload lanes narrower than this ride XLA sorts as extra operands (XLA
 # sort moves rows at multi-G/s; a permutation gather runs at ~100M elem/s —
@@ -77,7 +77,10 @@ def get_default_strategy() -> str:
     return _DEFAULT_STRATEGY
 
 
-def _resolve(strategy: str | None, n: int, kind: str = "full") -> str:
+def _resolve(
+    strategy: str | None, n: int, kind: str = "full",
+    kind_width: int | None = None,
+) -> str:
     name = strategy or _DEFAULT_STRATEGY
     if name not in _VALID:
         raise ValueError(f"strategy must be one of {_VALID}, got {name!r}")
@@ -91,6 +94,11 @@ def _resolve(strategy: str | None, n: int, kind: str = "full") -> str:
 
             if pallas_merge.supported_auto(n):
                 return "pallas_merge"
+        if kind == "kv":
+            from . import pallas_radix
+
+            if pallas_radix.supported_auto(n, kind_width or 32):
+                return "pallas_radix"
         return "xla"
     return name
 
@@ -137,7 +145,7 @@ def sort_by_digits(
     """Stable sort by bits [offset, offset+width) — the partial sort's data
     movement without boundary extraction."""
     validate_digit_range(offset, width)
-    name = _resolve(strategy, keys.shape[0], "kv")
+    name = _resolve(strategy, keys.shape[0], "kv", width)
     if name == "pallas":
         from . import pallas_sort
 
@@ -147,6 +155,10 @@ def sort_by_digits(
             if strategy == "pallas":
                 raise  # explicit request: surface the capability limit
             return _sort_partial_xla(keys, offset, width)  # auto fallback
+    if name == "pallas_radix":
+        from . import pallas_radix
+
+        return pallas_radix.sort_by_digits_large(keys, offset, width)
     return _sort_partial_xla(keys, offset, width)
 
 

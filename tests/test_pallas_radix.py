@@ -1,0 +1,123 @@
+"""Pallas radix digit-binning engine (ops/pallas_radix.py), interpret mode.
+
+Toy geometry (TILE=1024, B_OUT=512... wait B_OUT must be >= 1024) —
+production geometry runs on the real chip via the `-m tpu` suite.
+Oracle: numpy stable argsort by the digit window, exactly the contract of
+the reference's Step(offset, width) data movement (sort.cu:322-344).
+"""
+
+import numpy as np
+import pytest
+
+from gpu_radix_sort_tpu.ops import pallas_radix as pr
+from gpu_radix_sort_tpu.utils.keygen import Pcg32
+
+TILE = 2048
+B_OUT = 1024
+
+
+def _oracle(keys, offset, width):
+    digits = (keys >> np.uint32(offset)) & np.uint32((1 << width) - 1)
+    return keys[np.argsort(digits, kind="stable")]
+
+
+@pytest.mark.parametrize("n", [1, 7, 1024, 1111, 4096, 6000, 16384 + 17])
+@pytest.mark.parametrize("offset,width", [(0, 4), (8, 4), (28, 4), (5, 3)])
+def test_binning_pass_exact(n, offset, width):
+    keys = Pcg32().fill(n)
+    got = np.asarray(
+        pr.binning_pass(keys, offset, width, tile=TILE, b_out=B_OUT)
+    )
+    np.testing.assert_array_equal(got, _oracle(keys, offset, width))
+
+
+def test_binning_pass_stability_witness():
+    # duplicate-heavy digits; keys carry their original index in high bits
+    n = 5000
+    rng = np.random.default_rng(0)
+    digits = rng.integers(0, 16, n, dtype=np.uint32)
+    keys = (np.arange(n, dtype=np.uint32) << np.uint32(4)) | digits
+    got = np.asarray(pr.binning_pass(keys, 0, 4, tile=TILE, b_out=B_OUT))
+    np.testing.assert_array_equal(got, _oracle(keys, 0, 4))
+
+
+@pytest.mark.parametrize("case", ["all_same", "two_vals", "sorted", "rev"])
+def test_binning_pass_skew(case):
+    n = 4096 + 321
+    if case == "all_same":
+        keys = np.full(n, 0xDEADBEEF, dtype=np.uint32)
+    elif case == "two_vals":
+        keys = np.where(
+            np.arange(n) % 7 == 0, np.uint32(0xF0), np.uint32(0x0F)
+        ).astype(np.uint32)
+    elif case == "sorted":
+        keys = np.sort(Pcg32().fill(n))
+    else:
+        keys = np.sort(Pcg32().fill(n))[::-1].copy()
+    for offset in (0, 4):
+        got = np.asarray(pr.binning_pass(keys, offset, 4, tile=TILE, b_out=B_OUT))
+        np.testing.assert_array_equal(got, _oracle(keys, offset, 4))
+
+
+def test_binning_pass_full_range_keys():
+    # 0x00000000 and 0xFFFFFFFF are data, not sentinels
+    keys = np.array(
+        [0xFFFFFFFF, 0, 0xFFFFFFFF, 1, 0xFFFFFFF0, 0, 0xFFFFFFFF] * 300,
+        dtype=np.uint32,
+    )
+    got = np.asarray(pr.binning_pass(keys, 28, 4, tile=TILE, b_out=B_OUT))
+    np.testing.assert_array_equal(got, _oracle(keys, 28, 4))
+
+
+@pytest.mark.parametrize("width", [8, 12, 16])
+def test_sort_by_digits_large_multipass(width):
+    n = 6000
+    keys = Pcg32().fill(n)
+    got = np.asarray(
+        pr.sort_by_digits_large(keys, 4, width, tile=TILE, b_out=B_OUT)
+    )
+    np.testing.assert_array_equal(got, _oracle(keys, 4, width))
+
+
+def test_full_sort_via_eight_passes():
+    # 8 x 4-bit LSD passes = full sort (the radix full-sort path)
+    n = 5000
+    keys = Pcg32().fill(n)
+    got = np.asarray(
+        pr.sort_by_digits_large(keys, 0, 32, tile=TILE, b_out=B_OUT)
+    )
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_strategy_dispatch():
+    import gpu_radix_sort_tpu as gst
+
+    keys = Pcg32().fill(3000)
+    got = np.asarray(
+        gst.sort_by_digits(keys, 8, 8, strategy="pallas_radix")
+    )
+    np.testing.assert_array_equal(got, _oracle(keys, 8, 8))
+    sk, b = gst.sort_partial(keys, 0, 8, strategy="pallas_radix")
+    want, _ = gst.sort_partial(keys, 0, 8, strategy="xla")
+    np.testing.assert_array_equal(np.asarray(sk), np.asarray(want))
+
+
+def test_metadata_run_math():
+    # hand-check g_run/sflat/k0/nfrag on a tiny synthetic histogram
+    import jax.numpy as jnp
+
+    starts = jnp.asarray(
+        [[0, 2, 5, 8, 8], [0, 0, 4, 4, 8]], dtype=jnp.int32
+    )  # 2 tiles, D=4, tile=8
+    g_run, sflat, k0, nfrag = pr._binning_metadata(starts, 8, 4, 16)
+    # counts: t0 = [2,3,3,0]; t1 = [0,4,0,4]; run order (d, t)
+    np.testing.assert_array_equal(
+        np.asarray(g_run), [0, 2, 2, 5, 9, 12, 12, 12, 16]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sflat), [0, 8, 2, 8, 5, 12, 8, 12]
+    )
+    # blocks of 4: block 0 covers [0,4) <- runs 0,1(empty),2; block 3
+    # covers [12,16) <- run 7 alone (runs 5,6 are empty with end==12).
+    np.testing.assert_array_equal(np.asarray(k0), [0, 2, 3, 7])
+    np.testing.assert_array_equal(np.asarray(nfrag), [3, 2, 2, 1])
