@@ -169,8 +169,12 @@ if __name__ == "__main__":
         probe_stage_b_only(1 << 26, 1 << 16, 1 << 13)
     elif which == "full":
         probe_baseline(1 << 26)
-        for tile, b in [(1 << 16, 1 << 13), (1 << 17, 1 << 13),
-                        (1 << 16, 1 << 14)]:
+        # same B reuses the compiled binning kernel across T
+        for tile, b in [(1 << 14, 1 << 13), (1 << 15, 1 << 13),
+                        (1 << 16, 1 << 13)]:
+            probe_binning(1 << 26, tile, b)
+    elif which == "b4k":
+        for tile, b in [(1 << 15, 1 << 12), (1 << 14, 1 << 12)]:
             probe_binning(1 << 26, tile, b)
     else:
         log(f"unknown probe {which}")

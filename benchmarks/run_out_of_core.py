@@ -1,0 +1,211 @@
+"""Out-of-core storage-plane sort runner (BASELINE configs 1 & 3).
+
+Runs the multi-round storage-mediated distributed sort at scales that
+exceed device HBM, through the file backend (the reference's 512Mi-key
+workload, benchmark/pkg/benchmark/benchmark.go:126-180, scaled up):
+
+  keys-only:  python benchmarks/run_out_of_core.py --rows 1073741824
+  config 3:   python benchmarks/run_out_of_core.py --rows 268435456 \
+                  --payload-bytes 64
+
+Exactness proof without holding a (rows x payload) oracle in RAM:
+  * keys: the full sorted key stream is compared chunk-by-chunk against
+    np.sort of the (re-generated) input keys — exact.
+  * payload binding: payload bytes are a pure function of (key, original
+    row index); every output row is checked against f(key, idx).
+  * stability + permutation: within an equal-key run original indices must
+    STRICTLY increase — with the exact key match and the binding this also
+    proves no row was duplicated or dropped (a repeat inside a run breaks
+    strict increase; a cross-key swap breaks the key stream or binding).
+
+Prints one JSON line on stdout; diagnostics on stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+from gpu_radix_sort_tpu.data import FileArrayFactory, create_shape  # noqa: E402
+from gpu_radix_sort_tpu.parallel import (  # noqa: E402
+    BucketReader,
+    ReadOrder,
+    local_distrib_worker,
+    make_kv_worker,
+    sort_distrib_from_arr,
+)
+from gpu_radix_sort_tpu.utils.keygen import Pcg32  # noqa: E402
+from gpu_radix_sort_tpu.utils.timers import SortStats  # noqa: E402
+
+KEY_XOR = np.uint32(0xA5A5A5A5)
+CHUNK_ROWS = 1 << 22  # 4M rows per staging/verify chunk
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def payload_for(keys: np.ndarray, idx0: int, payload_bytes: int) -> np.ndarray:
+    """Deterministic payload rows for keys[i] at original index idx0+i:
+    [key ^ KEY_XOR (4B LE)] [index (8B LE)] [filler = (index + j) & 0xFF]."""
+    n = keys.size
+    out = np.empty((n, payload_bytes), dtype=np.uint8)
+    out[:, :4] = (keys ^ KEY_XOR).view(np.uint8).reshape(n, 4)
+    idx = np.arange(idx0, idx0 + n, dtype=np.uint64)
+    if payload_bytes >= 12:
+        out[:, 4:12] = idx.view(np.uint8).reshape(n, 8)
+        j = np.arange(12, payload_bytes, dtype=np.uint64)
+        out[:, 12:] = ((idx[:, None] + j[None, :]) & np.uint64(0xFF)).astype(
+            np.uint8
+        )
+    else:
+        j = np.arange(4, payload_bytes, dtype=np.uint64)
+        out[:, 4:] = ((idx[:, None] + j[None, :]) & np.uint64(0xFF)).astype(
+            np.uint8
+        )
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1 << 30)
+    ap.add_argument("--payload-bytes", type=int, default=0)
+    ap.add_argument("--width", type=int, default=8)
+    ap.add_argument("--nworker", type=int, default=1)
+    ap.add_argument("--mount", default="/root/ooc_mount")
+    ap.add_argument("--name", default="ooc")
+    args = ap.parse_args()
+
+    n = args.rows
+    pb = args.payload_bytes
+    row_bytes = 4 + pb
+    factory = FileArrayFactory(args.mount)
+    stats = SortStats()
+    t_start = time.time()
+
+    log(f"rows={n:,} payload={pb}B row={row_bytes}B width={args.width} "
+        f"nworker={args.nworker} total={n * row_bytes / 2**30:.1f} GiB")
+
+    # ---- stage input in chunks (no full-row materialization) -------------
+    t0 = time.time()
+    arr_in = factory.create(f"{args.name}.input", create_shape([n * row_bytes]))
+    gen = Pcg32()
+    all_keys = np.empty(n, dtype=np.uint32)  # key oracle (4B/row only)
+    w = arr_in.get_part_writer(0)
+    for c0 in range(0, n, CHUNK_ROWS):
+        c1 = min(c0 + CHUNK_ROWS, n)
+        keys = gen.fill(c1 - c0)
+        all_keys[c0:c1] = keys
+        if pb:
+            rows = np.empty((c1 - c0, row_bytes), dtype=np.uint8)
+            rows[:, :4] = keys.view(np.uint8).reshape(-1, 4)
+            rows[:, 4:] = payload_for(keys, c0, pb)
+            w.write(memoryview(rows.reshape(-1)))
+        else:
+            w.write(memoryview(keys.view(np.uint8)))
+    arr_in.close()
+    log(f"staged input in {time.time() - t0:.1f}s")
+
+    # ---- sort -------------------------------------------------------------
+    worker = make_kv_worker(row_bytes) if pb else local_distrib_worker
+    t0 = time.time()
+    outputs = sort_distrib_from_arr(
+        [arr_in],
+        args.name,
+        factory,
+        worker,
+        width=args.width,
+        nworker=args.nworker,
+        stats=stats,
+        row_bytes=row_bytes,
+    )
+    sort_s = time.time() - t0
+    log(f"sorted in {sort_s:.1f}s  phases={stats.report()}")
+
+    # ---- verify (streaming) ------------------------------------------------
+    t0 = time.time()
+    want_keys = np.sort(all_keys)
+    del all_keys
+    reader = BucketReader(outputs, ReadOrder.STRIDED)
+    pos = 0
+    prev_key = -1
+    prev_idx = -1
+    ok = True
+    while True:
+        raw = reader.read(CHUNK_ROWS * row_bytes)
+        if not raw:
+            break
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(-1, row_bytes)
+        m = rows.shape[0]
+        keys = np.ascontiguousarray(rows[:, :4]).view(np.uint32).reshape(-1)
+        if not np.array_equal(keys, want_keys[pos : pos + m]):
+            ok = False
+            log(f"FATAL: key mismatch in chunk at row {pos}")
+            break
+        if pb:
+            pay = np.ascontiguousarray(rows[:, 4:])
+            kx = np.ascontiguousarray(pay[:, :4]).view(np.uint32).reshape(-1)
+            if not np.array_equal(kx, keys ^ KEY_XOR):
+                ok = False
+                log(f"FATAL: payload/key binding broken at row {pos}")
+                break
+            idx = np.ascontiguousarray(pay[:, 4:12]).view(np.uint64).reshape(-1)
+            if int(idx.max(initial=0)) >= n:
+                ok = False
+                log("FATAL: out-of-range original index")
+                break
+            if pb > 12:
+                j = np.arange(12, pb, dtype=np.uint64)
+                want_fill = (
+                    (idx[:, None] + j[None, :]) & np.uint64(0xFF)
+                ).astype(np.uint8)
+                if not np.array_equal(pay[:, 12:], want_fill):
+                    ok = False
+                    log(f"FATAL: payload filler mismatch at row {pos}")
+                    break
+            # stability: indices increase within equal-key runs (include
+            # the boundary with the previous chunk)
+            kk = np.concatenate([[np.uint32(prev_key & 0xFFFFFFFF)], keys]) \
+                if prev_key >= 0 else keys
+            ii = np.concatenate([[np.uint64(prev_idx)], idx]) \
+                if prev_key >= 0 else idx
+            same = kk[1:] == kk[:-1]
+            if np.any(same & ~(ii[1:] > ii[:-1])):
+                ok = False
+                log(f"FATAL: stability violated near row {pos}")
+                break
+            prev_idx = int(idx[-1])
+            prev_key = int(keys[-1])
+        pos += m
+    if ok and pos != n:
+        ok = False
+        log(f"FATAL: linearized {pos} rows, expected {n}")
+    verify_s = time.time() - t0
+    log(f"verified in {verify_s:.1f}s: {'EXACT' if ok else 'MISMATCH'}")
+
+    for a in outputs:
+        a.destroy()
+
+    total_s = time.time() - t_start
+    rate = n / sort_s
+    print(json.dumps({
+        "metric": f"out_of_core_{'kv' + str(pb) + 'B' if pb else 'keys'}"
+                  f"_w{args.width}",
+        "rows": n,
+        "row_bytes": row_bytes,
+        "sort_s": round(sort_s, 1),
+        "rows_per_s": round(rate, 1),
+        "exact": ok,
+        "total_s": round(total_s, 1),
+        "phases": stats.report(),
+    }))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

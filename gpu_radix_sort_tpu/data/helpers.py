@@ -32,4 +32,6 @@ def fetch_part_refs_u32(refs: Sequence[PartRef]) -> np.ndarray:
     buf = fetch_part_refs(refs)
     if len(buf) % 4:
         raise ValueError(f"gathered {len(buf)} bytes, not a multiple of 4")
-    return np.frombuffer(bytes(buf), dtype=np.uint32)
+    # zero-copy view — bytes(buf) would duplicate the whole gather, which
+    # is gigabytes in the out-of-core configurations
+    return np.frombuffer(buf, dtype=np.uint32)

@@ -472,7 +472,7 @@ def local_distrib_worker_kv(
             f"gathered {len(buf)} bytes, not a multiple of row_bytes "
             f"{row_bytes}"
         )
-    rows = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(-1, row_bytes)
+    rows = np.frombuffer(buf, dtype=np.uint8).reshape(-1, row_bytes)
     n = rows.shape[0]
     keys = np.ascontiguousarray(rows[:, :KEY_BYTES]).view(np.uint32).reshape(-1)
     # Same pow2-padding contract as the keys-only worker: pad keys
