@@ -327,6 +327,46 @@ def bench_storage_distrib(
     )
 
 
+def bench_storage_kv(
+    n: int, cfg: SortConfig, *, payload_bytes=64, reps=1, warmup=True
+) -> BenchRecord:
+    """KV rows through the storage plane (BASELINE config 3 shape at bench
+    scale: uint32 key + fixed-width payload, multi-round partial sorts)."""
+    from ..parallel.storage_sort import sort_distrib_from_raw_kv
+
+    cfg.validate()
+    keys = Pcg32().fill(n)
+    payload = generate_payloads(n, payload_bytes=payload_bytes)
+    stats = SortStats()
+
+    def run(tag):
+        return sort_distrib_from_raw_kv(
+            keys, payload, tag, cfg.make_factory(),
+            width=cfg.width, nworker=cfg.nworker, stats=stats,
+        )
+
+    if warmup:
+        run("kv_warmup")
+    times = []
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        gk, gp = run(f"kv_r{rep}")
+        times.append(time.perf_counter() - t0)
+        order = np.argsort(keys, kind="stable")
+        if not (
+            np.array_equal(gk, keys[order])
+            and np.array_equal(gp, payload[order])
+        ):
+            raise AssertionError("storage kv sort produced wrong output")
+    med = statistics.median(times)
+    return _record(
+        f"storage_kv_{cfg.backend}_p{payload_bytes}B_w{cfg.width}", n, reps,
+        med, statistics.fmean(times),
+        statistics.stdev(times) if reps > 1 else 0.0,
+        unit="rows/s", phases=stats.report(), nworker=cfg.nworker,
+    )
+
+
 def run_scaling(
     n_local: int = 1 << 16, *, reps: int = 3
 ) -> list[BenchRecord]:
@@ -390,6 +430,10 @@ def run_benchmarks(
         bench_hash_aggregate(n_local, op="count", reps=reps),
         bench_storage_distrib(
             min(n1, 1 << 20), SortConfig(backend="mem"), reps=1
+        ),
+        bench_storage_kv(
+            min(n1 // 8, 1 << 19), SortConfig(backend="mem"),
+            payload_bytes=64, reps=1,
         ),
     ]
     return records

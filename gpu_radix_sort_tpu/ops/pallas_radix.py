@@ -63,10 +63,19 @@ CHUNK_ROWS = 8  # DMA granularity (min legal row count)
 
 
 def _slot_rows(b_out: int) -> int:
-    """Fragment staging rows: a fragment is < b_out keys plus <1 row of
-    phase slack, rounded up to whole CHUNK_ROWS chunks."""
-    raw = b_out // LANES + 1 + (CHUNK_ROWS - 1)
+    """Fragment staging rows: fragments are read at DST-ROW-ALIGNED offsets
+    (the chunk read offset absorbs the whole-row part of the src->dst
+    shift, so no row rotation is ever needed), which means a fragment can
+    sit as deep as b_out/128 rows into the slot plus <2 rows of lane-phase
+    slack, rounded up to whole chunks."""
+    raw = b_out // LANES + 2 + (CHUNK_ROWS - 1)
     return (raw // CHUNK_ROWS) * CHUNK_ROWS
+
+
+# front padding of the source array: chunk reads start up to b_rows rows
+# before the fragment's first source row (dst-row alignment) — keep them
+# in bounds for any geometry used (b_out <= 2^16 -> 512 rows).
+SRC_FRONT_ROWS = 520  # 512 + 8, a multiple of CHUNK_ROWS
 
 
 # ---------------------------------------------------------------------------

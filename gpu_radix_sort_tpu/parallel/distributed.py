@@ -31,13 +31,18 @@ from ..ops.bits import KEY_BITS
 from . import exchange as ex
 from .mesh import KEY_AXIS, key_mesh
 
-_VALID_EXCHANGE = ("auto", "alltoall", "gather")
+_VALID_EXCHANGE = ("auto", "alltoall", "overflow", "gather")
 
 
 def _round_fn(local_keys, *, offset, width, axis, exchange, capacity, strategy):
     if exchange == "gather":
         return ex.exchange_round_gather(
             local_keys, offset, width, axis, strategy=strategy
+        )
+    if exchange == "overflow":
+        c0, c_ov = capacity
+        return ex.exchange_round_alltoall_overflow(
+            local_keys, offset, width, axis, c0, c_ov, strategy=strategy
         )
     return ex.exchange_round_alltoall(
         local_keys, offset, width, axis, capacity, strategy=strategy
@@ -69,7 +74,10 @@ def build_distributed_sort(
     if exchange == "auto":
         # gather is exact and fastest for small shards; alltoall scales.
         exchange = "gather" if n_local * nchips <= (1 << 20) else "alltoall"
-    capacity = ex.default_capacity(n_local, nchips, capacity_factor)
+    if exchange == "overflow":
+        capacity = ex.overflow_capacities(n_local, nchips)
+    else:
+        capacity = ex.default_capacity(n_local, nchips, capacity_factor)
     nsteps = KEY_BITS // width
 
     def sort_shard(local_keys):

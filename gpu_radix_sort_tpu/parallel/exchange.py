@@ -168,6 +168,96 @@ def exchange_round_alltoall(
     return reassembled[:n_local], overflowed
 
 
+def overflow_capacities(n_local: int, nchips: int, ov_frac: float = 0.25):
+    """(C0, C_ov) for the two-pass exchange: C0 is the EVEN share (factor
+    1.0) and C_ov a small static overflow slot."""
+    if nchips == 1:
+        return n_local, 64
+    even = -(-n_local // nchips)
+    c_ov = min(n_local, max(64, int(even * ov_frac)))
+    return min(n_local, even), c_ov
+
+
+def exchange_round_alltoall_overflow(
+    local_keys: jnp.ndarray,
+    offset: int,
+    width: int,
+    axis: str,
+    capacity0: int,
+    capacity_ov: int,
+    *,
+    strategy: str | None = None,
+):
+    """Two-pass near-ragged exchange: a main all-to-all at the EVEN share
+    (capacity factor 1.0 — zero headroom) plus a small overflow all-to-all
+    carrying only each peer-pair's excess.
+
+    Padding waste drops from ``(cf - 1) * n`` per round (the single-pass
+    capacity-factor headroom paid on EVERY transfer) to the static overflow
+    slot ``P * C_ov``, which rides a second collective only.  Counts-first
+    metadata is identical to the single-pass exchange; like it, a pair
+    exceeding C0 + C_ov is reported as overflow, never silent (north-star
+    "ragged all-to-all": the true Pallas ICI-RDMA ragged transfer is the
+    remaining step — docs/PERF_NOTES.md).
+    """
+    n_local = local_keys.shape[0]
+    P_ = lax.axis_size(axis)
+    my = lax.axis_index(axis)
+    D = 1 << width
+    pos_t = _pos_dtype()
+
+    sorted_local = sort_by_digits(local_keys, offset, width, strategy=strategy)
+    counts = digit_counts_sorted(sorted_local, offset, width)
+
+    all_counts = lax.all_gather(counts, axis)
+    S_all = _run_starts_global(all_counts)
+    S_my = S_all[my]
+
+    chip_bounds = jnp.arange(P_ + 1, dtype=pos_t) * pos_t(n_local)
+    send_bounds = jax.vmap(
+        lambda b: _slice_counts(S_my, counts, b)
+    )(chip_bounds)
+    send_count = send_bounds[1:] - send_bounds[:-1]
+    send1 = jnp.minimum(send_count, capacity0)
+    send2 = send_count - send1
+    overflowed = jnp.any(send2 > capacity_ov)
+
+    pad_len = capacity0 + capacity_ov
+    padded = jnp.concatenate(
+        [sorted_local, jnp.full((pad_len,), PAD_KEY, KEY_DTYPE)]
+    )
+    send_main = send_windows(padded, send_bounds[:-1], capacity0)
+    send_over = send_windows(padded, send_bounds[:-1] + send1, capacity_ov)
+
+    recv_main = lax.all_to_all(send_main, axis, 0, 0, tiled=False)
+    recv_over = lax.all_to_all(send_over, axis, 0, 0, tiled=False)
+
+    lo = pos_t(n_local) * my.astype(pos_t)
+    hi = lo + pos_t(n_local)
+    recv_count = jax.vmap(
+        lambda S_i, c_i: _slice_counts(S_i, c_i, hi)
+        - _slice_counts(S_i, c_i, lo)
+    )(S_all, all_counts)
+    recv1 = jnp.minimum(recv_count, capacity0)
+    recv2 = recv_count - recv1
+
+    # Per-source-contiguous layout (main chunk then its overflow chunk)
+    # keeps receive order (src, rank); the stable digit sort then restores
+    # (digit, src, rank) = global destination order, as in the single pass.
+    k1 = jax.lax.broadcasted_iota(jnp.int32, (P_, capacity0), 1)
+    k2 = jax.lax.broadcasted_iota(jnp.int32, (P_, capacity_ov), 1)
+    valid = jnp.concatenate(
+        [k1 < recv1[:, None], k2 < recv2[:, None]], axis=1
+    )
+    recv_keys = jnp.concatenate([recv_main, recv_over], axis=1)
+    recv_digits = extract_digits(recv_keys, offset, width)
+    recv_digits = jnp.where(valid, recv_digits, jnp.uint32(D))
+    _, reassembled = lax.sort_key_val(
+        recv_digits.reshape(-1), recv_keys.reshape(-1), is_stable=True
+    )
+    return reassembled[:n_local], overflowed
+
+
 def exchange_round_gather(
     local_keys: jnp.ndarray,
     offset: int,

@@ -21,7 +21,7 @@ def _mesh():
     return key_mesh(jax.devices("cpu"))
 
 
-@pytest.mark.parametrize("exchange", ["gather", "alltoall"])
+@pytest.mark.parametrize("exchange", ["gather", "alltoall", "overflow"])
 @pytest.mark.parametrize("width", [8, 16])
 @pytest.mark.parametrize("n", [1111, 4099, 1 << 15])
 def test_sort_distributed_exact(exchange, width, n):
@@ -32,7 +32,7 @@ def test_sort_distributed_exact(exchange, width, n):
     np.testing.assert_array_equal(out, np.sort(keys))
 
 
-@pytest.mark.parametrize("exchange", ["gather", "alltoall"])
+@pytest.mark.parametrize("exchange", ["gather", "alltoall", "overflow"])
 def test_round_invariant(exchange):
     """After round r the global array is stably sorted by bits
     [0, (r+1)*width) — the reference's loop invariant (distrib.go:119)."""
@@ -44,7 +44,10 @@ def test_round_invariant(exchange):
 
     sharding = NamedSharding(mesh, P("x"))
     dev = jax.device_put(keys, sharding)
-    capacity = ex.default_capacity(n_local, 8, 1.25)
+    if exchange == "overflow":
+        capacity = ex.overflow_capacities(n_local, 8)
+    else:
+        capacity = ex.default_capacity(n_local, 8, 1.25)
 
     state = dev
     for step in range(2):
@@ -97,6 +100,29 @@ def test_nondivisible_sizes_padded():
         keys = Pcg32().fill(n)
         out = distributed.sort_distributed(keys, mesh=_mesh(), width=8)
         np.testing.assert_array_equal(out, np.sort(keys))
+
+
+def test_overflow_exchange_skew_detected():
+    """All-equal keys: every chip's shard targets one peer; the two-pass
+    exchange must flag overflow (explicit), and auto mode must still sort
+    via its documented fallback path."""
+    keys = np.full(1 << 13, 0xABCD0123, dtype=np.uint32)
+    with pytest.raises(distributed.OverflowError_):
+        distributed.sort_distributed(
+            keys, mesh=_mesh(), width=8, exchange="overflow"
+        )
+
+
+def test_overflow_exchange_waste_bound():
+    """The point of the two-pass exchange: slot bytes per round shrink from
+    cf * n to n + P * C_ov."""
+    n_local, nchips = 1 << 16, 8
+    c0, c_ov = ex.overflow_capacities(n_local, nchips)
+    single = ex.default_capacity(n_local, nchips, 1.5)
+    two_pass_slots = nchips * (c0 + c_ov)
+    single_slots = nchips * single
+    assert two_pass_slots < 0.85 * single_slots
+    assert c0 == -(-n_local // nchips)  # factor exactly 1.0
 
 
 def test_destination_math_beyond_2e31():
