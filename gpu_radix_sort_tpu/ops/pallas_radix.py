@@ -142,18 +142,6 @@ def _binning_metadata(starts: jnp.ndarray, tile: int, b_out: int, n_pad: int):
 # Stage B: binning kernel
 # ---------------------------------------------------------------------------
 
-def _rot_rows_left(win, dr, srows: int, interpret: bool):
-    """Cyclic row rotation left by dynamic dr in [0, srows): conditional
-    static rolls by powers of two (sum of chosen powers == dr < srows)."""
-    roll = jnp.roll if interpret else _tpu_roll
-    i = 0
-    while (1 << i) < srows:
-        rolled = roll(win, -(1 << i), 0)
-        win = jnp.where(((dr >> i) & 1) == 1, rolled, win)
-        i += 1
-    return win
-
-
 def _rot_lanes_left(win, dl, interpret: bool):
     """Flat rotation left by dynamic dl in [0, 128): 7 conditional static
     flat rotations (lane roll with row carry)."""
@@ -172,7 +160,6 @@ def _bin_kernel(
     j = pl.program_id(0)
     b_rows = b_out // LANES
     srows = _slot_rows(b_out)
-    S = srows * LANES
     max_chunks = srows // CHUNK_ROWS
     jb = j * b_out
     k0j = k0_ref[j]
@@ -180,22 +167,34 @@ def _bin_kernel(
     acc[...] = jnp.zeros((b_rows, LANES), KEY_DTYPE)
 
     def frag_params(k):
+        """Dst-row-aligned read plan: chunk reads start (dst0 // 128) rows
+        BEFORE the fragment's first source row, so after the chunk copies
+        the fragment already sits at the destination's row — only a <128
+        lane-phase rotation remains (no row rotation at all)."""
         g_k = g_ref[k]
         end_k = g_ref[k + 1]
         lo = jnp.maximum(g_k, jb)
         hi = jnp.minimum(end_k, jb + b_out)
         ln = jnp.maximum(hi - lo, 0)
+        dst0 = lo - jb
+        dr0 = dst0 // LANES
+        lmod = dst0 - dr0 * LANES
         src0 = s_ref[k] + (lo - g_k)
         r0 = src0 // LANES
         phase = src0 - r0 * LANES
-        rows = (phase + ln + LANES - 1) // LANES
-        chunks = (rows + CHUNK_ROWS - 1) // CHUNK_ROWS
-        return ln, r0, phase, chunks, lo - jb
+        extra = jnp.where(phase < lmod, 1, 0)  # borrow one row of shift
+        rs = SRC_FRONT_ROWS + r0 - dr0 - extra  # padded-x row of slot row 0
+        start_row = dr0 + extra  # fragment's first row within the slot
+        a0 = (start_row // CHUNK_ROWS) * CHUNK_ROWS  # first chunked row
+        end_row = (start_row * LANES + phase + ln + LANES - 1) // LANES
+        chunks = (end_row - a0 + CHUNK_ROWS - 1) // CHUNK_ROWS
+        return ln, rs, a0, chunks, dst0, phase, lmod
 
-    def chunk_copy(u: int, r0, q: int):
+    def chunk_copy(u: int, rs, a0, q: int):
+        row = a0 + q * CHUNK_ROWS
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(r0 + q * CHUNK_ROWS, CHUNK_ROWS), :],
-            slots.at[u, pl.ds(q * CHUNK_ROWS, CHUNK_ROWS), :],
+            x_hbm.at[pl.ds(rs + row, CHUNK_ROWS), :],
+            slots.at[u, pl.ds(row, CHUNK_ROWS), :],
             sems.at[u, q],
         )
 
@@ -204,31 +203,28 @@ def _bin_kernel(
         for u in range(NSLOT):
             @pl.when(w * NSLOT + u < nf)
             def _(u=u):
-                ln, r0, phase, chunks, dst0 = frag_params(base + u)
+                ln, rs, a0, chunks, dst0, phase, lmod = frag_params(base + u)
                 for q in range(max_chunks):
                     @pl.when((q < chunks) & (ln > 0))
                     def _(q=q):
-                        chunk_copy(u, r0, q).start()
+                        chunk_copy(u, rs, a0, q).start()
 
         for u in range(NSLOT):
             @pl.when(w * NSLOT + u < nf)
             def _(u=u):
-                ln, r0, phase, chunks, dst0 = frag_params(base + u)
+                ln, rs, a0, chunks, dst0, phase, lmod = frag_params(base + u)
                 for q in range(max_chunks):
                     @pl.when((q < chunks) & (ln > 0))
                     def _(q=q):
-                        chunk_copy(u, r0, q).wait()
+                        chunk_copy(u, rs, a0, q).wait()
 
                 @pl.when(ln > 0)
                 def _():
                     win = slots[u]
-                    # place [phase, phase+ln) at [dst0, dst0+ln): left-rot
-                    # by delta, split into lane part + row part.
-                    delta = jnp.mod(phase - dst0, S)
-                    dl = jnp.mod(delta, LANES)
-                    dr = delta // LANES  # in [0, srows)
+                    # rows already aligned by the read plan; rotate the
+                    # remaining lane phase (with row carry), then mask.
+                    dl = jnp.mod(phase - lmod, LANES)
                     win = _rot_lanes_left(win, dl, interpret)
-                    win = _rot_rows_left(win, dr, srows, interpret)
                     rr = lax.broadcasted_iota(jnp.int32, (b_rows, LANES), 0)
                     cc = lax.broadcasted_iota(jnp.int32, (b_rows, LANES), 1)
                     pos = rr * LANES + cc
@@ -301,9 +297,11 @@ def binning_pass(
     g_run, sflat, k0, nfrag = _binning_metadata(starts, tile, b_out, n_pad)
     x = jnp.concatenate(
         [
+            # dst-row-aligned chunk reads start up to b_out/128 rows early
+            jnp.full((SRC_FRONT_ROWS, LANES), PAD, KEY_DTYPE),
             sorted_t.reshape(-1, LANES),
-            # chunk-granularity DMA may overread past the last row
-            jnp.full((CHUNK_ROWS, LANES), PAD, KEY_DTYPE),
+            # ... and chunk rounding may overread past the last row
+            jnp.full((2 * CHUNK_ROWS, LANES), PAD, KEY_DTYPE),
         ]
     )
     out = _bin_call(n_pad // b_out, b_out, _interpret())(
