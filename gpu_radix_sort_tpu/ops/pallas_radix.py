@@ -63,12 +63,11 @@ CHUNK_ROWS = 8  # DMA granularity (min legal row count)
 
 
 def _slot_rows(b_out: int) -> int:
-    """Fragment staging rows: fragments are read at DST-ROW-ALIGNED offsets
-    (the chunk read offset absorbs the whole-row part of the src->dst
-    shift, so no row rotation is ever needed), which means a fragment can
-    sit as deep as b_out/128 rows into the slot plus <2 rows of lane-phase
-    slack, rounded up to whole chunks."""
-    raw = b_out // LANES + 2 + (CHUNK_ROWS - 1)
+    """Fragment staging rows: chunk reads are anchored at the destination
+    window base floor8(dst_row), so a fragment sits up to CHUNK_ROWS+1 rows
+    deep plus its own b_out/128 rows and <1 row of lane-phase slack,
+    rounded up to whole chunks."""
+    raw = b_out // LANES + CHUNK_ROWS + 2 + (CHUNK_ROWS - 1)
     return (raw // CHUNK_ROWS) * CHUNK_ROWS
 
 
@@ -164,13 +163,15 @@ def _bin_kernel(
     jb = j * b_out
     k0j = k0_ref[j]
     nf = nfrag_ref[j]
-    acc[...] = jnp.zeros((b_rows, LANES), KEY_DTYPE)
+    acc[...] = jnp.zeros((b_rows + srows, LANES), KEY_DTYPE)
 
     def frag_params(k):
-        """Dst-row-aligned read plan: chunk reads start (dst0 // 128) rows
-        BEFORE the fragment's first source row, so after the chunk copies
-        the fragment already sits at the destination's row — only a <128
-        lane-phase rotation remains (no row rotation at all)."""
+        """Window-anchored read plan.  The fragment's chunk reads start
+        (dst-row - chunk-alignment) rows before its first source row, and
+        land at SLOT ROW 0 — so the fragment sits at a STATIC window whose
+        base in destination coordinates is a0 = floor8(dst_row).  Only a
+        <128 lane-phase rotation (with row carry) remains, applied to a
+        small static window sized by the fragment's row extent."""
         g_k = g_ref[k]
         end_k = g_ref[k + 1]
         lo = jnp.maximum(g_k, jb)
@@ -183,20 +184,37 @@ def _bin_kernel(
         r0 = src0 // LANES
         phase = src0 - r0 * LANES
         extra = jnp.where(phase < lmod, 1, 0)  # borrow one row of shift
-        rs = SRC_FRONT_ROWS + r0 - dr0 - extra  # padded-x row of slot row 0
-        start_row = dr0 + extra  # fragment's first row within the slot
-        a0 = (start_row // CHUNK_ROWS) * CHUNK_ROWS  # first chunked row
+        a0 = (dr0 // CHUNK_ROWS) * CHUNK_ROWS  # window base (dst rows)
+        # padded-x row corresponding to slot row 0 (= dst row a0)
+        rs = SRC_FRONT_ROWS + r0 - dr0 - extra + a0
+        start_row = dr0 - a0 + extra  # fragment's first row in the window
         end_row = (start_row * LANES + phase + ln + LANES - 1) // LANES
-        chunks = (end_row - a0 + CHUNK_ROWS - 1) // CHUNK_ROWS
+        chunks = (end_row + CHUNK_ROWS - 1) // CHUNK_ROWS
         return ln, rs, a0, chunks, dst0, phase, lmod
 
-    def chunk_copy(u: int, rs, a0, q: int):
-        row = a0 + q * CHUNK_ROWS
+    def chunk_copy(u: int, rs, q: int):
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(rs + row, CHUNK_ROWS), :],
-            slots.at[u, pl.ds(row, CHUNK_ROWS), :],
+            x_hbm.at[pl.ds(rs + q * CHUNK_ROWS, CHUNK_ROWS), :],
+            slots.at[u, q * CHUNK_ROWS : (q + 1) * CHUNK_ROWS, :],
             sems.at[u, q],
         )
+
+    def place(u: int, wrows: int, ln, a0, dst0, phase, lmod):
+        """Rotate the fragment's lane phase within a static wrows-row
+        window and merge it into acc at dynamic row offset a0."""
+        win = slots[u, :wrows, :]
+        dl = jnp.mod(phase - lmod, LANES)
+        win = _rot_lanes_left(win, dl, interpret)
+        rr = lax.broadcasted_iota(jnp.int32, (wrows, LANES), 0)
+        cc = lax.broadcasted_iota(jnp.int32, (wrows, LANES), 1)
+        pos = (a0 + rr) * LANES + cc
+        m = (pos >= dst0) & (pos < dst0 + ln)
+        cur = acc[pl.ds(a0, wrows), :]
+        acc[pl.ds(a0, wrows), :] = jnp.where(m, win, cur)
+
+    # fragment row-extent classes: most fragments are far smaller than the
+    # slot; rotating only their window is the dominant VPU saving.
+    classes = [c for c in (2, 4) if c < max_chunks] + [max_chunks]
 
     def wave(w, carry):
         base = k0j + w * NSLOT
@@ -207,7 +225,7 @@ def _bin_kernel(
                 for q in range(max_chunks):
                     @pl.when((q < chunks) & (ln > 0))
                     def _(q=q):
-                        chunk_copy(u, rs, a0, q).start()
+                        chunk_copy(u, rs, q).start()
 
         for u in range(NSLOT):
             @pl.when(w * NSLOT + u < nf)
@@ -216,26 +234,20 @@ def _bin_kernel(
                 for q in range(max_chunks):
                     @pl.when((q < chunks) & (ln > 0))
                     def _(q=q):
-                        chunk_copy(u, rs, a0, q).wait()
+                        chunk_copy(u, rs, q).wait()
 
-                @pl.when(ln > 0)
-                def _():
-                    win = slots[u]
-                    # rows already aligned by the read plan; rotate the
-                    # remaining lane phase (with row carry), then mask.
-                    dl = jnp.mod(phase - lmod, LANES)
-                    win = _rot_lanes_left(win, dl, interpret)
-                    rr = lax.broadcasted_iota(jnp.int32, (b_rows, LANES), 0)
-                    cc = lax.broadcasted_iota(jnp.int32, (b_rows, LANES), 1)
-                    pos = rr * LANES + cc
-                    m = (pos >= dst0) & (pos < dst0 + ln)
-                    acc[...] = jnp.where(m, win[:b_rows], acc[...])
+                prev = 0
+                for cls in classes:
+                    @pl.when((ln > 0) & (prev < chunks) & (chunks <= cls))
+                    def _(cls=cls):
+                        place(u, cls * CHUNK_ROWS, ln, a0, dst0, phase, lmod)
+                    prev = cls
 
         return carry
 
     nwaves = (nf + NSLOT - 1) // NSLOT
     lax.fori_loop(0, nwaves, wave, 0)
-    o_ref[...] = acc[...]
+    o_ref[...] = acc[:b_rows, :]
 
 
 @functools.lru_cache(maxsize=None)
@@ -253,7 +265,10 @@ def _bin_call(nblocks: int, b_out: int, interpret: bool):
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((b_rows, LANES), lambda j, *_: (j, 0)),
             scratch_shapes=[
-                pltpu.VMEM((b_rows, LANES), KEY_DTYPE),  # block accumulator
+                # accumulator with window overhang room (dynamic-offset
+                # window writes may extend past b_rows; only [:b_rows]
+                # is ever emitted)
+                pltpu.VMEM((b_rows + srows, LANES), KEY_DTYPE),
                 pltpu.VMEM((NSLOT, srows, LANES), KEY_DTYPE),  # frag slots
                 pltpu.SemaphoreType.DMA((NSLOT, srows // CHUNK_ROWS)),
             ],
