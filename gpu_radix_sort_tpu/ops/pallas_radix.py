@@ -59,7 +59,10 @@ PASS_WIDTH = 4  # digits per binning pass (D=16 keeps fragment counts low)
 TILE = 1 << 16  # stage-A tile (keys); tune measured on chip
 B_OUT = 1 << 13  # stage-B output block (keys)
 NSLOT = 8  # fragment DMA slots in flight per block
-CHUNK_ROWS = 8  # DMA granularity (min legal row count)
+# DMA granularity: must be a multiple of 8 rows (Mosaic crashes otherwise);
+# 16 halves the per-fragment chunk-branch count on the scalar core, which
+# is what stage B is bound by (measured ~1us/fragment of scalar work).
+CHUNK_ROWS = 16
 
 
 def _slot_rows(b_out: int) -> int:
@@ -189,7 +192,11 @@ def _bin_kernel(
         rs = SRC_FRONT_ROWS + r0 - dr0 - extra + a0
         start_row = dr0 - a0 + extra  # fragment's first row in the window
         end_row = (start_row * LANES + phase + ln + LANES - 1) // LANES
-        chunks = (end_row + CHUNK_ROWS - 1) // CHUNK_ROWS
+        # chunks == 0 encodes an empty fragment, so chunk/place predicates
+        # need no separate ln > 0 conjunction (scalar-core savings)
+        chunks = jnp.where(
+            ln > 0, (end_row + CHUNK_ROWS - 1) // CHUNK_ROWS, 0
+        )
         return ln, rs, a0, chunks, dst0, phase, lmod
 
     def chunk_copy(u: int, rs, q: int):
@@ -214,7 +221,7 @@ def _bin_kernel(
 
     # fragment row-extent classes: most fragments are far smaller than the
     # slot; rotating only their window is the dominant VPU saving.
-    classes = [c for c in (2, 4) if c < max_chunks] + [max_chunks]
+    classes = [c for c in (1, 2) if c < max_chunks] + [max_chunks]
 
     def wave(w, carry):
         base = k0j + w * NSLOT
@@ -223,7 +230,7 @@ def _bin_kernel(
             def _(u=u):
                 ln, rs, a0, chunks, dst0, phase, lmod = frag_params(base + u)
                 for q in range(max_chunks):
-                    @pl.when((q < chunks) & (ln > 0))
+                    @pl.when(q < chunks)
                     def _(q=q):
                         chunk_copy(u, rs, q).start()
 
@@ -232,13 +239,13 @@ def _bin_kernel(
             def _(u=u):
                 ln, rs, a0, chunks, dst0, phase, lmod = frag_params(base + u)
                 for q in range(max_chunks):
-                    @pl.when((q < chunks) & (ln > 0))
+                    @pl.when(q < chunks)
                     def _(q=q):
                         chunk_copy(u, rs, q).wait()
 
                 prev = 0
                 for cls in classes:
-                    @pl.when((ln > 0) & (prev < chunks) & (chunks <= cls))
+                    @pl.when((prev < chunks) & (chunks <= cls))
                     def _(cls=cls):
                         place(u, cls * CHUNK_ROWS, ln, a0, dst0, phase, lmod)
                     prev = cls
@@ -297,7 +304,9 @@ def binning_pass(
     if tile % b_out:
         raise ValueError(f"tile {tile} must be a multiple of b_out {b_out}")
     if b_out % (CHUNK_ROWS * LANES):
-        raise ValueError(f"b_out {b_out} must be a multiple of 1024")
+        raise ValueError(
+            f"b_out {b_out} must be a multiple of {CHUNK_ROWS * LANES}"
+        )
     n = keys.shape[0]
     if n == 0:
         return keys.astype(KEY_DTYPE)

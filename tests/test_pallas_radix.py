@@ -12,8 +12,8 @@ import pytest
 from gpu_radix_sort_tpu.ops import pallas_radix as pr
 from gpu_radix_sort_tpu.utils.keygen import Pcg32
 
-TILE = 2048
-B_OUT = 1024
+TILE = 4096
+B_OUT = 2048
 
 
 def _oracle(keys, offset, width):
