@@ -411,16 +411,23 @@ def run_benchmarks(
         return run_scaling()
     on_tpu = jax.default_backend() == "tpu"
     if suite == "full":
-        n1 = 64 << 20 if on_tpu else 1 << 22
-        reps = 5
+        # the reference's standard workload size: 256Mi keys per device
+        # (localTest/benchmarks.cpp:9-15) — size-for-size BASELINE.md rows
+        n1 = 256 << 20 if on_tpu else 1 << 22
+        reps = 3
     else:
         n1 = (8 << 20) if on_tpu else (1 << 20)
         reps = 3
     n_local = max(n1 // max(len(jax.devices()), 1), 1 << 12)
+    if suite == "full" and on_tpu:
+        # mesh paths at 256Mi/chip would spend minutes re-sorting per round;
+        # keep them at the quick scale (they measure exchange overheads)
+        n_local = min(n_local, 8 << 20)
 
     records = [
         bench_keygen(n1),
         bench_full_sort(n1, reps=reps, trace_dir=trace_dir),
+        bench_partial_sort(n1, width=4, reps=reps),
         bench_partial_sort(n1, width=8, reps=reps),
         bench_partial_sort(n1, width=16, reps=reps),
         bench_key_value_sort(n1 // 2, payload_bytes=8, reps=reps),

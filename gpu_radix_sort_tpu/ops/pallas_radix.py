@@ -56,7 +56,10 @@ from .pallas_sort import LANES, _interpret, _tpu_roll
 PAD = np.uint32(0xFFFFFFFF)
 
 PASS_WIDTH = 4  # digits per binning pass (D=16 keeps fragment counts low)
-TILE = 1 << 16  # stage-A tile (keys); tune measured on chip
+# Measured (TPU v5e, 64M keys, device-true): T=32K/B=8K best at 125.3ms
+# (536M keys/s, 2.11x lax.sort_key_val); T=16K loses to fragment count,
+# T=64K to the wider row sort.  docs/PERF_NOTES.md round-2 addendum.
+TILE = 1 << 15  # stage-A tile (keys)
 B_OUT = 1 << 13  # stage-B output block (keys)
 NSLOT = 8  # fragment DMA slots in flight per block
 # DMA granularity: must be a multiple of 8 rows (Mosaic crashes otherwise);
@@ -357,15 +360,19 @@ def sort_by_digits_large(
     return keys
 
 
-# Measured dispatch window (set after on-chip measurement; see
+# Measured dispatch window (TPU v5e, 64M keys, device-true — see
 # docs/PERF_NOTES.md round-2 addendum).  The engine is exact at any size;
-# "auto" routes only sizes where it beats lax.sort_key_val device-true.
+# "auto" routes only configurations where it beats lax.sort_key_val:
+#   width 4: 127.6ms vs 263.8ms = 2.07x  -> routed here
+#   width 8 (two passes): ~255ms vs 263.8ms = 1.03x — parity, not worth the
+#     Mosaic compile; kept on XLA (negative result recorded in PERF_NOTES)
 AUTO_MIN_N = 1 << 22
+AUTO_MAX_WIDTH = 4
 
 
 def supported_auto(n: int, width: int) -> bool:
     return (
         n >= AUTO_MIN_N
-        and width <= 16
+        and width <= AUTO_MAX_WIDTH
         and not _interpret()
     )
