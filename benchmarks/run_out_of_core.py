@@ -79,6 +79,11 @@ def main():
     ap.add_argument("--nworker", type=int, default=1)
     ap.add_argument("--mount", default="/root/ooc_mount")
     ap.add_argument("--name", default="ooc")
+    ap.add_argument(
+        "--parallel-workers", action="store_true",
+        help="let workers run concurrently (default: serialize — one chip "
+        "owns the device work and concurrent shards would double peak HBM)",
+    )
     args = ap.parse_args()
 
     n = args.rows
@@ -113,6 +118,16 @@ def main():
 
     # ---- sort -------------------------------------------------------------
     worker = make_kv_worker(row_bytes) if pb else local_distrib_worker
+    if not args.parallel_workers:
+        import threading
+
+        lock = threading.Lock()
+        inner = worker
+
+        def worker(refs, offset, width, out_name, fac):
+            with lock:
+                return inner(refs, offset, width, out_name, fac)
+
     t0 = time.time()
     outputs = sort_distrib_from_arr(
         [arr_in],

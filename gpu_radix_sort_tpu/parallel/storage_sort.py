@@ -78,6 +78,8 @@ def _jitted_digit_order_counts():
 
         def f(keys, offset, width):
             digits = extract_digits(keys, offset, width)
+            if width <= 8:
+                digits = digits.astype(jnp.uint8)  # faster, smaller sort
             idx = jnp.arange(keys.shape[0], dtype=jnp.uint32)
             sorted_digits, order = lax.sort_key_val(
                 digits, idx, is_stable=True
