@@ -166,6 +166,19 @@ def _cmd_selftest(args) -> int:
                                   local_distrib_worker), keys,
         ),
     )
+
+    from .parallel.storage_sort import sort_distrib_from_raw_kv
+    from .utils.keygen import generate_payloads
+
+    payload = generate_payloads(n, payload_bytes=12)
+    gk, gp = sort_distrib_from_raw_kv(
+        keys, payload, "st_kv", MemArrayFactory()
+    )
+    order = np.argsort(keys, kind="stable")
+    check(
+        "storage kv sort (mem, 12B rows)",
+        np.array_equal(gk, keys[order]) and np.array_equal(gp, payload[order]),
+    )
     if args.subprocess:
         with tempfile.TemporaryDirectory() as mount:
             check(
