@@ -62,3 +62,53 @@ def test_paths_agree_with_oracle(case):
             width=8, nworker=3,
         )
         np.testing.assert_array_equal(got, want, err_msg=f"storage {kind}")
+
+    if i % 3 == 1:  # kv storage rows: payload carries the stability witness
+        from gpu_radix_sort_tpu.parallel import sort_distrib_from_raw_kv
+
+        n = keys.size
+        payload = (
+            np.arange(n, dtype=np.uint32).view(np.uint8).reshape(n, 4)
+        )
+        gk, gp = sort_distrib_from_raw_kv(
+            keys, payload, f"fuzzkv{i}", MemArrayFactory(),
+            width=8, nworker=2,
+        )
+        order = np.argsort(keys, kind="stable")
+        np.testing.assert_array_equal(gk, keys[order], err_msg=f"kv {kind}")
+        np.testing.assert_array_equal(
+            gp, payload[order], err_msg=f"kv payload {kind}"
+        )
+
+    if i % 3 == 2:  # two-pass overflow exchange (falls back explicitly)
+        from gpu_radix_sort_tpu.parallel.distributed import OverflowError_
+
+        try:
+            got = sort_distributed(keys, width=8, exchange="overflow")
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"overflow {kind}"
+            )
+        except OverflowError_:
+            pass  # degenerate distributions legitimately overflow
+
+
+@pytest.mark.parametrize(
+    "case", list(_cases(8, seed=123)), ids=lambda c: f"{c[0]}-{c[1]}"
+)
+def test_radix_engine_fuzz(case):
+    """The Pallas radix engine (interpret mode) against the stable oracle,
+    randomized offsets/widths per case."""
+    i, kind, keys = case
+    rng = np.random.default_rng(1000 + i)
+    width = int(rng.choice([2, 3, 4]))
+    offset = int(rng.integers(0, 32 - width))
+    from gpu_radix_sort_tpu.ops import pallas_radix as pr
+
+    got = np.asarray(
+        pr.binning_pass(keys, offset, width, tile=4096, b_out=2048)
+    )
+    d = (keys >> np.uint32(offset)) & np.uint32((1 << width) - 1)
+    np.testing.assert_array_equal(
+        got, keys[np.argsort(d, kind="stable")],
+        err_msg=f"radix {kind} o={offset} w={width}",
+    )
