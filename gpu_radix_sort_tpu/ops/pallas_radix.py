@@ -61,6 +61,26 @@ PASS_WIDTH = 4  # digits per binning pass (D=16 keeps fragment counts low)
 # T=64K to the wider row sort.  docs/PERF_NOTES.md round-2 addendum.
 TILE = 1 << 15  # stage-A tile (keys)
 B_OUT = 1 << 13  # stage-B output block (keys)
+
+# The binning kernel's run/block metadata rides scalar prefetch in SMEM
+# (1 MiB total).  Cap tile and block counts so 2*(tiles*D) + 2*blocks i32
+# scalars stay well under it (~400 KiB at the caps); geometry scales up
+# with n instead (measured: 256Mi at TILE=32K blew SMEM by 261 KiB).
+MAX_TILES = 2048
+MAX_BLOCKS = 16384
+
+
+def auto_geometry(n: int, width: int) -> tuple[int, int]:
+    """(tile, b_out) for a pass over n keys: the measured-fastest defaults,
+    scaled up to honor the SMEM metadata caps."""
+    tile = TILE
+    while -(-n // tile) > MAX_TILES:
+        tile *= 2
+    n_pad = max(-(-n // tile) * tile, tile)
+    b_out = B_OUT
+    while n_pad // b_out > MAX_BLOCKS:
+        b_out *= 2
+    return tile, b_out
 NSLOT = 8  # fragment DMA slots in flight per block
 # DMA granularity: must be a multiple of 8 rows (Mosaic crashes otherwise);
 # 16 halves the per-fragment chunk-branch count on the scalar core, which
@@ -297,13 +317,18 @@ def binning_pass(
     offset: int,
     width: int,
     *,
-    tile: int = TILE,
-    b_out: int = B_OUT,
+    tile: int | None = None,
+    b_out: int | None = None,
 ) -> jnp.ndarray:
     """One stable binning pass by bits [offset, offset+width).  ``width``
     must keep D = 2^width small (fragment count per block grows with D);
-    wider windows should go through :func:`sort_by_digits_large`."""
+    wider windows should go through :func:`sort_by_digits_large`.
+    Geometry defaults to :func:`auto_geometry` (SMEM-bounded)."""
     validate_digit_range(offset, width)
+    if tile is None or b_out is None:
+        at, ab = auto_geometry(keys.shape[0], width)
+        tile = tile or at
+        b_out = b_out or ab
     if tile % b_out:
         raise ValueError(f"tile {tile} must be a multiple of b_out {b_out}")
     if b_out % (CHUNK_ROWS * LANES):
@@ -342,8 +367,8 @@ def sort_by_digits_large(
     offset: int,
     width: int,
     *,
-    tile: int = TILE,
-    b_out: int = B_OUT,
+    tile: int | None = None,
+    b_out: int | None = None,
 ) -> jnp.ndarray:
     """Stable sort by bits [offset, offset+width) as LSD subpasses of
     PASS_WIDTH bits (stable subpasses compose to a stable sort of the whole

@@ -102,6 +102,19 @@ def test_strategy_dispatch():
     np.testing.assert_array_equal(np.asarray(sk), np.asarray(want))
 
 
+def test_auto_geometry_smem_bound():
+    for n in (1 << 20, 64 << 20, 256 << 20, 1 << 31):
+        tile, b_out = pr.auto_geometry(n, 4)
+        n_tiles = -(-n // tile)
+        n_pad = n_tiles * tile
+        assert n_tiles <= pr.MAX_TILES
+        assert n_pad // b_out <= pr.MAX_BLOCKS
+        assert tile % b_out == 0
+        smem_bytes = 4 * (2 * n_tiles * 16 + 2 * (n_pad // b_out))
+        assert smem_bytes < 600 * 1024
+    assert pr.auto_geometry(64 << 20, 4) == (pr.TILE, pr.B_OUT)
+
+
 def test_metadata_run_math():
     # hand-check g_run/sflat/k0/nfrag on a tiny synthetic histogram
     import jax.numpy as jnp
