@@ -1,0 +1,226 @@
+"""Ragged bucket exchange over ICI via Pallas remote DMA (prototype).
+
+The north-star exchange: after the local digit sort, each chip RDMAs its
+per-peer slices DIRECTLY into the receivers' buffers at counts-derived
+offsets — no capacity padding at all (the `lax.all_to_all` paths pay
+(capacity - count) padded slots per pair; the two-pass overflow exchange
+shrinks that to a static slot; this one transfers ceil-to-chunk bytes
+only, i.e. < 2 KiB of slack per pair).
+
+Mechanics (SPMD, inside shard_map; one Pallas program per chip):
+  * the send plan and the receive plan are BOTH derived from the
+    all-gathered (P, P) count matrix, so sender and receiver compute the
+    identical chunk schedule — the receiver waits out its incoming chunks
+    by reconstructing matching fixed-shape descriptors (the standard
+    recreate-to-wait pattern), with no handshake traffic;
+  * transfers are CHUNK_ROWS-row units at row-aligned boundaries (DMA row
+    granularity); element raggedness is carried as per-source (phase,
+    count) metadata and resolved by the receiver's stable reassembly sort,
+    exactly like the collective exchanges (parallel/exchange.py);
+  * receive layout is source-major with ascending in-source rank, so the
+    stable digit sort restores (digit, src, rank) = global destination
+    order.
+
+Status: PROTOTYPE validated on the interpret-mode virtual mesh (the
+production chip here is single-device, so multi-chip ICI cannot execute
+for real); the collective exchanges remain the default.  Mirrors the role
+of the reference's storage-mediated repartition (distrib.go:119-158) with
+zero intermediate storage.  Caveat: run under shard_map with
+``check_vma=False`` — interpret-mode pallas drops varying-axis metadata on
+scalar-prefetch operands.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+
+from ..ops.bits import KEY_DTYPE, extract_digits
+from ..ops.boundaries import digit_counts_sorted
+from ..ops.radix_sort import sort_by_digits
+from ..ops.pallas_sort import LANES, _interpret
+
+RCHUNK = 16  # rows per RDMA chunk (2048 keys)
+
+
+def _out_rows(n_local: int, nchips: int) -> int:
+    """Static receive-buffer rows: everyone's data + per-source chunk
+    rounding (phase row + ceil-to-RCHUNK)."""
+    return n_local // LANES + (RCHUNK + 1) * nchips
+
+
+def _xchg_kernel(
+    src_row, n_chunks_out, dst_row, n_in, my_ref,  # scalar prefetch
+    x_hbm, o_ref, send_sem, recv_sem, *, nchips: int,
+):
+    from jax.experimental.pallas import tpu as pltpu
+
+    my = my_ref[0]
+
+    # Issue every outgoing chunk, spread over peers starting at my+1.
+    for s in range(nchips):
+        c = lax.rem(my + jnp.int32(s), jnp.int32(nchips))
+
+        def send_one(q, _, c=c):
+            pltpu.make_async_remote_copy(
+                x_hbm.at[pl.ds(src_row[c] + q * RCHUNK, RCHUNK), :],
+                o_ref.at[pl.ds(dst_row[c] + q * RCHUNK, RCHUNK), :],
+                send_sem,
+                recv_sem,
+                device_id=c,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            ).start()
+            return _
+
+        lax.fori_loop(0, n_chunks_out[c], send_one, 0)
+
+    # Drain send completions (one fixed-shape descriptor per chunk).
+    total_out = jnp.int32(0)
+    for s in range(nchips):
+        total_out = total_out + n_chunks_out[s]
+
+    def wait_send(q, _):
+        pltpu.make_async_remote_copy(
+            x_hbm.at[pl.ds(0, RCHUNK), :],
+            o_ref.at[pl.ds(0, RCHUNK), :],
+            send_sem,
+            recv_sem,
+            device_id=my,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        ).wait_send()
+        return _
+
+    lax.fori_loop(0, total_out, wait_send, 0)
+
+    # Wait for every incoming chunk (count known from the count matrix).
+    def wait_recv(q, _):
+        pltpu.make_async_remote_copy(
+            x_hbm.at[pl.ds(0, RCHUNK), :],
+            o_ref.at[pl.ds(0, RCHUNK), :],
+            send_sem,
+            recv_sem,
+            device_id=my,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        ).wait_recv()
+        return _
+
+    lax.fori_loop(0, n_in[0], wait_recv, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _xchg_call(src_rows_total: int, out_rows: int, nchips: int,
+               axis: str, interpret: bool):
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = functools.partial(_xchg_kernel, nchips=nchips)
+    # the output varies across the exchange axis (vma needed when invoked
+    # under shard_map with varying-mesh-axes checking on)
+    try:
+        out_shape = jax.ShapeDtypeStruct(
+            (out_rows, LANES), KEY_DTYPE, vma=frozenset({axis})
+        )
+    except TypeError:  # older jax without vma
+        out_shape = jax.ShapeDtypeStruct((out_rows, LANES), KEY_DTYPE)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, collective_id=7
+        ),
+        interpret=interpret,
+    )
+
+
+def exchange_round_rdma(
+    local_keys: jnp.ndarray,
+    offset: int,
+    width: int,
+    axis: str,
+    *,
+    strategy: str | None = None,
+):
+    """One distributed digit round with the ragged RDMA exchange (inside
+    shard_map).  Returns (new_local_keys, overflowed=False) — raggedness
+    means there is no capacity to overflow."""
+    n_local = local_keys.shape[0]
+    if n_local % LANES:
+        raise ValueError(f"n_local {n_local} must be a multiple of {LANES}")
+    P_ = lax.axis_size(axis)
+    my = lax.axis_index(axis)
+    D = 1 << width
+
+    sorted_local = sort_by_digits(local_keys, offset, width, strategy=strategy)
+    counts = digit_counts_sorted(sorted_local, offset, width)  # (D,)
+
+    all_counts = lax.all_gather(counts, axis)  # (P, D)
+    # destination chip of each element is monotone along the sorted shard
+    # (see exchange.py); per-(src, dst) element counts:
+    from .exchange import _pos_dtype, _run_starts_global, _slice_counts
+
+    S_all = _run_starts_global(all_counts)  # (P, D)
+    pos_t = _pos_dtype()
+    chip_bounds = (
+        jnp.arange(P_ + 1, dtype=pos_t)[:, None] * pos_t(n_local)
+    )  # (P+1, 1) destination-range bounds
+    below = jax.vmap(
+        lambda b: jax.vmap(
+            lambda S_i, c_i: _slice_counts(S_i, c_i, b[0])
+        )(S_all, all_counts)
+    )(chip_bounds)  # (P+1, P): [c, i] = #elements of src i destined < c*n
+    M = (below[1:] - below[:-1]).astype(jnp.int32).T  # (P_src, P_dst)
+
+    # Chunk schedule, identical on every chip (derived from M alone).
+    sb = jnp.cumsum(M, axis=1) - M  # (P, P) element start in src's shard
+    phase = sb % LANES
+    row0 = sb // LANES
+    rows_needed = (phase + M + LANES - 1) // LANES
+    chunks = (rows_needed + RCHUNK - 1) // RCHUNK  # (P, P)
+    padded_rows = chunks * RCHUNK
+    dst_rows = jnp.cumsum(padded_rows, axis=0) - padded_rows  # (P, P) [i, c]
+
+    out_rows = _out_rows(n_local, int(P_))
+    x = jnp.concatenate(
+        [
+            sorted_local.reshape(-1, LANES),
+            jnp.zeros((RCHUNK, LANES), KEY_DTYPE),  # chunk overread slack
+        ]
+    )
+    buf = _xchg_call(x.shape[0], out_rows, int(P_), axis, _interpret())(
+        row0[my].astype(jnp.int32),
+        chunks[my].astype(jnp.int32),
+        dst_rows[my].astype(jnp.int32),
+        jnp.sum(chunks[:, my]).astype(jnp.int32)[None],
+        my.astype(jnp.int32)[None],
+        x,
+    )
+
+    # Reassembly: mask valid elements per source segment (broadcast compare
+    # over the P sources — scatter/gather-free), stable digit sort.
+    flat = buf.reshape(-1)
+    pos = jnp.arange(flat.shape[0], dtype=jnp.int32)
+    seg_start = dst_rows[:, my] * LANES + phase[:, my]  # (P,)
+    seg_end = seg_start + M[:, my]
+    valid = jnp.any(
+        (pos[None, :] >= seg_start[:, None])
+        & (pos[None, :] < seg_end[:, None]),
+        axis=0,
+    )
+    digits = extract_digits(flat, offset, width)
+    digits = jnp.where(valid, digits, jnp.uint32(D))
+    _, reassembled = lax.sort_key_val(digits, flat, is_stable=True)
+    return reassembled[:n_local], jnp.bool_(False)

@@ -102,6 +102,41 @@ def test_nondivisible_sizes_padded():
         np.testing.assert_array_equal(out, np.sort(keys))
 
 
+@pytest.mark.parametrize("dist", ["uniform", "dupes", "sorted"])
+def test_rdma_exchange_round_exact(dist):
+    """Ragged RDMA exchange (Pallas remote DMA, interpret mode on the
+    virtual mesh): one digit round must equal the stable digit oracle —
+    and agree with the collective exchanges — under skew too."""
+    from gpu_radix_sort_tpu.parallel.rdma_exchange import exchange_round_rdma
+
+    mesh = _mesh()
+    n = 1 << 13
+    rng = np.random.default_rng(5)
+    if dist == "uniform":
+        keys = Pcg32().fill(n)
+    elif dist == "dupes":
+        keys = rng.integers(0, 4, size=n).astype(np.uint32)
+    else:
+        keys = np.sort(Pcg32().fill(n))
+    dev = jax.device_put(keys, NamedSharding(mesh, P("x")))
+
+    def round_(local):
+        out, ovf = exchange_round_rdma(local, 8, 8, "x", strategy="xla")
+        return out, jax.lax.psum(ovf.astype(jnp.int32), "x")
+
+    # check_vma=False: interpret-mode pallas drops varying-axis metadata on
+    # scalar-prefetch operands (prototype caveat, rdma_exchange.py docstring)
+    fn = jax.shard_map(
+        round_, mesh=mesh, in_specs=P("x"), out_specs=(P("x"), P()),
+        check_vma=False,
+    )
+    got, ovf = jax.jit(fn)(dev)
+    assert int(np.asarray(ovf)[0] if np.ndim(ovf) else ovf) == 0
+    digits = (keys >> 8) & 0xFF
+    want = keys[np.argsort(digits, kind="stable")]
+    np.testing.assert_array_equal(np.asarray(jax.device_get(got)), want)
+
+
 def test_overflow_exchange_skew_detected():
     """All-equal keys: every chip's shard targets one peer; the two-pass
     exchange must flag overflow (explicit), and auto mode must still sort
