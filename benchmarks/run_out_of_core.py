@@ -84,6 +84,16 @@ def main():
         help="let workers run concurrently (default: serialize — one chip "
         "owns the device work and concurrent shards would double peak HBM)",
     )
+    ap.add_argument(
+        "--stage-only", action="store_true",
+        help="write the input array and exit (host-only; lets staging run "
+        "while another process owns the chip)",
+    )
+    ap.add_argument(
+        "--skip-staging", action="store_true",
+        help="reuse an input array staged earlier by --stage-only "
+        "(the key oracle is regenerated — the PCG32 stream is deterministic)",
+    )
     args = ap.parse_args()
 
     n = args.rows
@@ -98,23 +108,39 @@ def main():
 
     # ---- stage input in chunks (no full-row materialization) -------------
     t0 = time.time()
-    arr_in = factory.create(f"{args.name}.input", create_shape([n * row_bytes]))
     gen = Pcg32()
     all_keys = np.empty(n, dtype=np.uint32)  # key oracle (4B/row only)
-    w = arr_in.get_part_writer(0)
-    for c0 in range(0, n, CHUNK_ROWS):
-        c1 = min(c0 + CHUNK_ROWS, n)
-        keys = gen.fill(c1 - c0)
-        all_keys[c0:c1] = keys
-        if pb:
-            rows = np.empty((c1 - c0, row_bytes), dtype=np.uint8)
-            rows[:, :4] = keys.view(np.uint8).reshape(-1, 4)
-            rows[:, 4:] = payload_for(keys, c0, pb)
-            w.write(memoryview(rows.reshape(-1)))
-        else:
-            w.write(memoryview(keys.view(np.uint8)))
-    arr_in.close()
-    log(f"staged input in {time.time() - t0:.1f}s")
+    if args.skip_staging:
+        arr_in = factory.open(f"{args.name}.input")
+        got = sum(arr_in.get_shape().lens)
+        if got != n * row_bytes:
+            log(f"FATAL: staged input holds {got} bytes, want {n * row_bytes}")
+            sys.exit(2)
+        for c0 in range(0, n, CHUNK_ROWS):
+            c1 = min(c0 + CHUNK_ROWS, n)
+            all_keys[c0:c1] = gen.fill(c1 - c0)
+        log(f"reused staged input; key oracle in {time.time() - t0:.1f}s")
+    else:
+        arr_in = factory.create(
+            f"{args.name}.input", create_shape([n * row_bytes])
+        )
+        w = arr_in.get_part_writer(0)
+        for c0 in range(0, n, CHUNK_ROWS):
+            c1 = min(c0 + CHUNK_ROWS, n)
+            keys = gen.fill(c1 - c0)
+            all_keys[c0:c1] = keys
+            if pb:
+                rows = np.empty((c1 - c0, row_bytes), dtype=np.uint8)
+                rows[:, :4] = keys.view(np.uint8).reshape(-1, 4)
+                rows[:, 4:] = payload_for(keys, c0, pb)
+                w.write(memoryview(rows.reshape(-1)))
+            else:
+                w.write(memoryview(keys.view(np.uint8)))
+        arr_in.close()
+        log(f"staged input in {time.time() - t0:.1f}s")
+        if args.stage_only:
+            log("stage-only: done")
+            sys.exit(0)
 
     # ---- sort -------------------------------------------------------------
     worker = make_kv_worker(row_bytes) if pb else local_distrib_worker
