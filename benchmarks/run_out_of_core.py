@@ -57,17 +57,17 @@ def payload_for(keys: np.ndarray, idx0: int, payload_bytes: int) -> np.ndarray:
     out = np.empty((n, payload_bytes), dtype=np.uint8)
     out[:, :4] = (keys ^ KEY_XOR).view(np.uint8).reshape(n, 4)
     idx = np.arange(idx0, idx0 + n, dtype=np.uint64)
+    # (idx + j) & 0xFF == u8 wraparound of (idx & 0xFF) + (j & 0xFF):
+    # staying in uint8 avoids an (n, payload) uint64 temporary (~8x the
+    # memory traffic — it page-fault-thrashed at 17 GiB scale).
+    idx8 = (idx & np.uint64(0xFF)).astype(np.uint8)
     if payload_bytes >= 12:
         out[:, 4:12] = idx.view(np.uint8).reshape(n, 8)
-        j = np.arange(12, payload_bytes, dtype=np.uint64)
-        out[:, 12:] = ((idx[:, None] + j[None, :]) & np.uint64(0xFF)).astype(
-            np.uint8
-        )
+        j8 = np.arange(12, payload_bytes, dtype=np.uint64).astype(np.uint8)
+        np.add(idx8[:, None], j8[None, :], out=out[:, 12:])
     else:
-        j = np.arange(4, payload_bytes, dtype=np.uint64)
-        out[:, 4:] = ((idx[:, None] + j[None, :]) & np.uint64(0xFF)).astype(
-            np.uint8
-        )
+        j8 = np.arange(4, payload_bytes, dtype=np.uint64).astype(np.uint8)
+        np.add(idx8[:, None], j8[None, :], out=out[:, 4:])
     return out
 
 
@@ -201,10 +201,10 @@ def main():
                 log("FATAL: out-of-range original index")
                 break
             if pb > 12:
-                j = np.arange(12, pb, dtype=np.uint64)
-                want_fill = (
-                    (idx[:, None] + j[None, :]) & np.uint64(0xFF)
-                ).astype(np.uint8)
+                j8 = np.arange(12, pb, dtype=np.uint64).astype(np.uint8)
+                want_fill = (idx & np.uint64(0xFF)).astype(np.uint8)[
+                    :, None
+                ] + j8[None, :]
                 if not np.array_equal(pay[:, 12:], want_fill):
                     ok = False
                     log(f"FATAL: payload filler mismatch at row {pos}")
