@@ -65,6 +65,37 @@ def _lanes_restore(lanes: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(lanes, jnp.uint8).reshape(like.shape)
 
 
+def _permute_lanes_grouped(
+    rank: jnp.ndarray, lanes: jnp.ndarray
+) -> jnp.ndarray:
+    """Apply a permutation to (n, W) uint32 lanes via grouped lane-riding
+    sorts: lane groups of MAX_SORT_LANES ride ``lax.sort`` keyed by each
+    row's destination rank.  ``rank`` must be a permutation of [0, n)
+    (all-distinct keys, so an unstable sort is exact).
+
+    This replaces the wide-payload permutation gather: XLA gather moves
+    ~100M elem/s while the sort network moves whole rows at multi-G/s
+    (docs/PERF_NOTES.md) — for W lanes the cost is ceil(W/4) sorts instead
+    of an n*W-element gather."""
+    out_cols: list[jnp.ndarray] = []
+    for g0 in range(0, lanes.shape[1], MAX_SORT_LANES):
+        cols = tuple(
+            lanes[:, w]
+            for w in range(g0, min(g0 + MAX_SORT_LANES, lanes.shape[1]))
+        )
+        sorted_ops = jax.lax.sort((rank, *cols), num_keys=1, is_stable=False)
+        out_cols.extend(sorted_ops[1:])
+    return jnp.stack(out_cols, axis=1)
+
+
+def _invert_permutation(order: jnp.ndarray) -> jnp.ndarray:
+    """rank[j] = position of j in ``order`` — scatter-free (one u32 sort)."""
+    n = order.shape[0]
+    iota = jnp.arange(n, dtype=jnp.uint32)
+    _, rank = jax.lax.sort_key_val(order, iota, is_stable=False)
+    return rank
+
+
 def set_default_strategy(name: str) -> None:
     global _DEFAULT_STRATEGY
     if name not in _VALID:
@@ -231,9 +262,15 @@ def sort_key_value(
         sorted_ops = jax.lax.sort((keys, *cols), num_keys=1, is_stable=True)
         out_lanes = jnp.stack(sorted_ops[1:], axis=1)
         return sorted_ops[0], _lanes_restore(out_lanes, values)
-    # Wide payloads: sort (key, row-index) pairs, then gather payload rows.
+    # Wide payloads: sort (key, row-index) once for the order, invert it,
+    # then move payload lanes in groups of MAX_SORT_LANES keyed by each
+    # row's destination rank.  Non-bitcastable payloads keep the gather.
     idx = jnp.arange(keys.shape[0], dtype=jnp.uint32)
     sorted_keys, order = jax.lax.sort_key_val(keys, idx, is_stable=True)
+    if lanes is not None and lanes.shape[1] > 0:
+        rank = _invert_permutation(order)
+        out_lanes = _permute_lanes_grouped(rank, lanes)
+        return sorted_keys, _lanes_restore(out_lanes, values)
     return sorted_keys, jnp.take(values, order, axis=0)
 
 
@@ -261,5 +298,11 @@ def sort_key_value_by_digits(
         out_lanes = jnp.stack(sorted_ops[2:], axis=1)
         return sorted_ops[1], _lanes_restore(out_lanes, values)
     idx = jnp.arange(keys.shape[0], dtype=jnp.uint32)
-    _, order = jax.lax.sort_key_val(digits, idx, is_stable=True)
-    return jnp.take(keys, order), jnp.take(values, order, axis=0)
+    _, sorted_keys, order = jax.lax.sort(
+        (digits, keys, idx), num_keys=1, is_stable=True
+    )
+    if lanes is not None and lanes.shape[1] > 0:
+        rank = _invert_permutation(order)
+        out_lanes = _permute_lanes_grouped(rank, lanes)
+        return sorted_keys, _lanes_restore(out_lanes, values)
+    return sorted_keys, jnp.take(values, order, axis=0)

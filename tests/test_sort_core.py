@@ -157,6 +157,43 @@ def test_sort_key_value_u32_lanes():
     np.testing.assert_array_equal(np.asarray(sv), vals[order])
 
 
+def test_sort_key_value_wide_payload_duplicate_keys():
+    # Wide payloads move via grouped lane-riding sorts keyed by the
+    # destination rank; duplicate-heavy keys prove the rank inherits the
+    # key sort's stability (the group sorts themselves are unstable —
+    # ranks are all distinct).
+    n = 4099
+    keys = (Pcg32().fill(n) & np.uint32(0x1F)).astype(np.uint32)
+    payload = gst.generate_payloads(n, payload_bytes=64)
+    sk, sp = gst.sort_key_value(keys, payload)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(sk), keys[order])
+    np.testing.assert_array_equal(np.asarray(sp), payload[order])
+
+
+def test_sort_key_value_by_digits_wide_payload():
+    n = 2111
+    keys = Pcg32().fill(n)
+    payload = gst.generate_payloads(n, payload_bytes=32)  # 8 u32 lanes
+    sk, sp = gst.sort_key_value_by_digits(keys, payload, 8, 8)
+    digits = (keys >> 8) & 0xFF
+    order = np.argsort(digits, kind="stable")
+    np.testing.assert_array_equal(np.asarray(sk), keys[order])
+    np.testing.assert_array_equal(np.asarray(sp), payload[order])
+
+
+def test_sort_key_value_unaligned_payload_gather_fallback():
+    # Payload widths not bitcastable to u32 lanes keep the permutation
+    # gather; exactness (not speed) is the contract there.
+    n = 1021
+    keys = (Pcg32().fill(n) & np.uint32(0xFF)).astype(np.uint32)
+    payload = gst.generate_payloads(n, payload_bytes=7)
+    sk, sp = gst.sort_key_value(keys, payload)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(sk), keys[order])
+    np.testing.assert_array_equal(np.asarray(sp), payload[order])
+
+
 def test_sort_key_value_by_digits_lane_payload():
     n = 1111
     keys = Pcg32().fill(n)
