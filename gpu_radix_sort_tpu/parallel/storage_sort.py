@@ -29,6 +29,8 @@ from __future__ import annotations
 import json
 import math
 import os
+import sys
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Protocol, Sequence
 
@@ -37,6 +39,7 @@ import numpy as np
 from ..data.interface import ArrayFactory, DistribArray, PartRef, create_shape
 from ..data.helpers import fetch_part_refs, fetch_part_refs_u32
 from ..utils.timers import SortStats
+from ..utils.transfer import chunked_device_get
 from .bucket_reader import BucketReader, ReadOrder
 
 KEY_BYTES = 4
@@ -91,6 +94,14 @@ def _jitted_digit_order_counts():
         fn = jax.jit(f, static_argnums=(1, 2))
         _JIT_CACHE["digit_order_counts"] = fn
     return fn
+
+
+def _worker_vlog(out_name: str, msg: str) -> None:
+    """Worker progress breadcrumbs under GRS_VERBOSE=1 — device calls on a
+    tunneled backend can stall for minutes (remote compiles); these mark
+    which phase a long round is actually in."""
+    if os.environ.get("GRS_VERBOSE"):
+        print(f"[worker {out_name}] {msg}", file=sys.stderr, flush=True)
 
 
 class DistribWorker(Protocol):
@@ -199,12 +210,16 @@ def local_distrib_worker(
     n_pad = 1 << max(n - 1, 1).bit_length()
     padded = np.full(n_pad, 0xFFFFFFFF, dtype=np.uint32)
     padded[:n] = keys
+    _worker_vlog(out_name, f"fetched n={n:,} (pad {n_pad:,}); device sort")
     sorted_keys, counts = _jitted_sort_partial_counts()(
         padded, offset, width, strategy=strategy
     )
     counts = np.asarray(jax.device_get(counts), dtype=np.int64)
     counts[-1] -= n_pad - n
-    host_sorted = np.asarray(jax.device_get(sorted_keys))[:n]
+    # D2H is the round's narrow edge on a tunneled runtime — fetch the
+    # sorted keys as parallel chunk streams (utils/transfer.py).
+    host_sorted = chunked_device_get(sorted_keys)[:n]
+    _worker_vlog(out_name, "sorted keys on host; writing buckets")
 
     caps = counts * KEY_BYTES
     out = factory.create(out_name, create_shape(caps.tolist()))
@@ -297,10 +312,19 @@ def sort_distrib_from_arr(
     nstep = TOTAL_BITS // width
     arrs: list[DistribArray] = list(inputs)
 
+    verbose = bool(os.environ.get("GRS_VERBOSE"))
+
+    def _vlog(msg: str) -> None:
+        if verbose:
+            print(f"[sort_distrib {name}] {msg}", file=sys.stderr, flush=True)
+
     for step in range(start_step, nstep):
         offset = step * width
+        t_round = time.monotonic()
         with stats.time("split"):
             shards = _split_refs(arrs, nworker, row_bytes)
+        _vlog(f"round {step + 1}/{nstep} offset={offset}: "
+              f"{[sum(r.nbyte for r in s) for s in shards]} bytes/shard")
         with stats.time("workers"):
             with ThreadPoolExecutor(max_workers=nworker) as pool:
                 futures = [
@@ -315,6 +339,8 @@ def sort_distrib_from_arr(
                     for i, refs in enumerate(shards)
                 ]
                 outputs = [f.result() for f in futures]
+        _vlog(f"round {step + 1}/{nstep} done in "
+              f"{time.monotonic() - t_round:.1f}s")
         if checkpoint_dir is not None:
             with stats.time("checkpoint"):
                 _write_checkpoint(
@@ -484,11 +510,13 @@ def local_distrib_worker_kv(
     n_pad = 1 << max(n - 1, 1).bit_length()
     padded = np.full(n_pad, 0xFFFFFFFF, dtype=np.uint32)
     padded[:n] = keys
+    _worker_vlog(out_name, f"fetched n={n:,} rows; device digit argsort")
     order, counts = _jitted_digit_order_counts()(padded, offset, width)
-    order = np.asarray(jax.device_get(order))
+    order = chunked_device_get(order)
     counts = np.asarray(jax.device_get(counts), dtype=np.int64)
     counts[-1] -= n_pad - n
 
+    _worker_vlog(out_name, "order on host; permuting rows")
     rows_sorted = rows[order[:n]]  # host permutation of full rows
     caps = counts * row_bytes
     out = factory.create(out_name, create_shape(caps.tolist()))
