@@ -431,6 +431,9 @@ def run_benchmarks(
         bench_partial_sort(n1, width=8, reps=reps),
         bench_partial_sort(n1, width=16, reps=reps),
         bench_key_value_sort(n1 // 2, payload_bytes=8, reps=reps),
+        # 64B payloads: grouped lane-riding sorts (ops/radix_sort.py
+        # _permute_lanes_grouped) — the wide-row regime of BASELINE config 3
+        bench_key_value_sort(n1 // 8, payload_bytes=64, reps=reps),
         bench_mesh_lsd(n_local, width=8, exchange="alltoall", reps=reps),
         bench_mesh_sample(n_local, reps=reps),
         bench_mesh_kv_sample(max(n_local // 4, 1 << 12), reps=reps),

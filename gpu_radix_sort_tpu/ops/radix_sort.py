@@ -149,6 +149,8 @@ def _sort_partial_xla(keys: jnp.ndarray, offset: int, width: int) -> jnp.ndarray
         # (half the comparison bandwidth) and shrink peak sort memory 40%
         # — the 2^30-keys-per-worker out-of-core regime needs that room.
         digits = digits.astype(jnp.uint8)
+    elif width <= 16:
+        digits = digits.astype(jnp.uint16)
     _, sorted_keys = jax.lax.sort_key_val(
         digits, keys.astype(KEY_DTYPE), is_stable=True
     )

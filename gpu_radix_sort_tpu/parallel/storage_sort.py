@@ -83,6 +83,8 @@ def _jitted_digit_order_counts():
             digits = extract_digits(keys, offset, width)
             if width <= 8:
                 digits = digits.astype(jnp.uint8)  # faster, smaller sort
+            elif width <= 16:
+                digits = digits.astype(jnp.uint16)
             idx = jnp.arange(keys.shape[0], dtype=jnp.uint32)
             sorted_digits, order = lax.sort_key_val(
                 digits, idx, is_stable=True
