@@ -52,7 +52,11 @@ def log(msg):
 
 def payload_for(keys: np.ndarray, idx0: int, payload_bytes: int) -> np.ndarray:
     """Deterministic payload rows for keys[i] at original index idx0+i:
-    [key ^ KEY_XOR (4B LE)] [index (8B LE)] [filler = (index + j) & 0xFF]."""
+    [key ^ KEY_XOR (4B LE)] [index (8B LE, or 4B LE when payload < 12B)]
+    [filler = (index + j) & 0xFF].  The index field is what lets the
+    verifier prove stability and row conservation without an oracle of
+    the full payload; 8-byte payloads carry it as u32 (valid to 2^32-1
+    rows)."""
     n = keys.size
     out = np.empty((n, payload_bytes), dtype=np.uint8)
     out[:, :4] = (keys ^ KEY_XOR).view(np.uint8).reshape(n, 4)
@@ -65,6 +69,10 @@ def payload_for(keys: np.ndarray, idx0: int, payload_bytes: int) -> np.ndarray:
         out[:, 4:12] = idx.view(np.uint8).reshape(n, 8)
         j8 = np.arange(12, payload_bytes, dtype=np.uint64).astype(np.uint8)
         np.add(idx8[:, None], j8[None, :], out=out[:, 12:])
+    elif payload_bytes >= 8:
+        out[:, 4:8] = idx.astype(np.uint32).view(np.uint8).reshape(n, 4)
+        j8 = np.arange(8, payload_bytes, dtype=np.uint64).astype(np.uint8)
+        np.add(idx8[:, None], j8[None, :], out=out[:, 8:])
     else:
         j8 = np.arange(4, payload_bytes, dtype=np.uint64).astype(np.uint8)
         np.add(idx8[:, None], j8[None, :], out=out[:, 4:])
@@ -188,24 +196,33 @@ def main():
             ok = False
             log(f"FATAL: key mismatch in chunk at row {pos}")
             break
-        if pb:
+        if pb >= 8:
             pay = np.ascontiguousarray(rows[:, 4:])
             kx = np.ascontiguousarray(pay[:, :4]).view(np.uint32).reshape(-1)
             if not np.array_equal(kx, keys ^ KEY_XOR):
                 ok = False
                 log(f"FATAL: payload/key binding broken at row {pos}")
                 break
-            idx = np.ascontiguousarray(pay[:, 4:12]).view(np.uint64).reshape(-1)
+            if pb >= 12:
+                idx = np.ascontiguousarray(pay[:, 4:12]).view(
+                    np.uint64
+                ).reshape(-1)
+                fill0 = 12
+            else:
+                idx = np.ascontiguousarray(pay[:, 4:8]).view(
+                    np.uint32
+                ).reshape(-1).astype(np.uint64)
+                fill0 = 8
             if int(idx.max(initial=0)) >= n:
                 ok = False
                 log("FATAL: out-of-range original index")
                 break
-            if pb > 12:
-                j8 = np.arange(12, pb, dtype=np.uint64).astype(np.uint8)
+            if pb > fill0:
+                j8 = np.arange(fill0, pb, dtype=np.uint64).astype(np.uint8)
                 want_fill = (idx & np.uint64(0xFF)).astype(np.uint8)[
                     :, None
                 ] + j8[None, :]
-                if not np.array_equal(pay[:, 12:], want_fill):
+                if not np.array_equal(pay[:, fill0:], want_fill):
                     ok = False
                     log(f"FATAL: payload filler mismatch at row {pos}")
                     break
