@@ -24,14 +24,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.bits import KEY_BITS
 from . import exchange as ex
 from .mesh import KEY_AXIS, key_mesh
 
-_VALID_EXCHANGE = ("auto", "alltoall", "overflow", "gather")
+_VALID_EXCHANGE = ("auto", "alltoall", "overflow", "gather", "rdma")
 
 
 def _round_fn(local_keys, *, offset, width, axis, exchange, capacity, strategy):
@@ -43,6 +43,12 @@ def _round_fn(local_keys, *, offset, width, axis, exchange, capacity, strategy):
         c0, c_ov = capacity
         return ex.exchange_round_alltoall_overflow(
             local_keys, offset, width, axis, c0, c_ov, strategy=strategy
+        )
+    if exchange == "rdma":
+        from .rdma_exchange import exchange_round_rdma
+
+        return exchange_round_rdma(
+            local_keys, offset, width, axis, strategy=strategy
         )
     return ex.exchange_round_alltoall(
         local_keys, offset, width, axis, capacity, strategy=strategy
@@ -76,6 +82,15 @@ def build_distributed_sort(
         exchange = "gather" if n_local * nchips <= (1 << 20) else "alltoall"
     if exchange == "overflow":
         capacity = ex.overflow_capacities(n_local, nchips)
+    elif exchange == "rdma":
+        from ..ops.pallas_sort import LANES
+
+        capacity = None
+        if n_local % LANES:
+            raise ValueError(
+                f"exchange='rdma' needs n_local ({n_local}) to be a "
+                f"multiple of {LANES} (DMA row granularity)"
+            )
     else:
         capacity = ex.default_capacity(n_local, nchips, capacity_factor)
     nsteps = KEY_BITS // width
@@ -95,11 +110,15 @@ def build_distributed_sort(
             overflow = overflow + ovf.astype(jnp.int32)
         return local_keys, lax.psum(overflow, axis)
 
+    # check_vma=False for rdma: interpret-mode pallas drops varying-axis
+    # metadata on scalar-prefetch operands (rdma_exchange.py docstring).
+    kwargs = {"check_vma": False} if exchange == "rdma" else {}
     fn = shard_map(
         sort_shard,
         mesh=mesh,
         in_specs=P(axis),
         out_specs=(P(axis), P()),
+        **kwargs,
     )
     return jax.jit(fn)
 
@@ -130,6 +149,10 @@ def sort_distributed(
     keys = np.asarray(keys, dtype=np.uint32)
     n = keys.size
     n_local = max(-(-n // nchips), 1)
+    if exchange == "rdma":
+        from ..ops.pallas_sort import LANES
+
+        n_local = -(-n_local // LANES) * LANES  # DMA row granularity
     n_pad = n_local * nchips
     if n_pad * 1 >= (1 << 31) and not jax.config.jax_enable_x64:
         raise ValueError(

@@ -21,13 +21,17 @@ Mechanics (SPMD, inside shard_map; one Pallas program per chip):
     stable digit sort restores (digit, src, rank) = global destination
     order.
 
-Status: PROTOTYPE validated on the interpret-mode virtual mesh (the
+Status: first-class option — ``sort_distributed(..., exchange="rdma")``
+runs the full LSD loop through this exchange, validated exactly on the
+virtual mesh via the Mosaic interpreter (pltpu.InterpretParams, which
+emulates one-sided remote DMAs + semaphores with per-device threads; the
 production chip here is single-device, so multi-chip ICI cannot execute
-for real); the collective exchanges remain the default.  Mirrors the role
-of the reference's storage-mediated repartition (distrib.go:119-158) with
-zero intermediate storage.  Caveat: run under shard_map with
-``check_vma=False`` — interpret-mode pallas drops varying-axis metadata on
-scalar-prefetch operands.
+for real).  The collective exchanges remain the default pending hardware
+measurement.  Mirrors the role of the reference's storage-mediated
+repartition (distrib.go:119-158) with zero intermediate storage.  Caveat:
+run under shard_map with ``check_vma=False`` — interpret-mode pallas drops
+varying-axis metadata on scalar-prefetch operands
+(build_distributed_sort does this automatically for exchange="rdma").
 """
 
 from __future__ import annotations
@@ -114,7 +118,7 @@ def _xchg_kernel(
 
 @functools.lru_cache(maxsize=None)
 def _xchg_call(src_rows_total: int, out_rows: int, nchips: int,
-               axis: str, interpret: bool):
+               axis: str, interpret: bool, detect_races: bool = False):
     from jax.experimental.pallas import tpu as pltpu
 
     kernel = functools.partial(_xchg_kernel, nchips=nchips)
@@ -126,6 +130,12 @@ def _xchg_call(src_rows_total: int, out_rows: int, nchips: int,
         )
     except TypeError:  # older jax without vma
         out_shape = jax.ShapeDtypeStruct((out_rows, LANES), KEY_DTYPE)
+    # On the virtual CPU mesh use the Mosaic TPU interpret machinery
+    # (pltpu.InterpretParams), not the generic pallas interpreter: it
+    # emulates one-sided remote DMAs + semaphores with per-device threads,
+    # so data-dependent chunk schedules (asymmetric per-device send/wait
+    # counts) execute without the lock-step collective lowering that
+    # deadlocks the generic interpreter on skewed schedules.
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -142,7 +152,8 @@ def _xchg_call(src_rows_total: int, out_rows: int, nchips: int,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, collective_id=7
         ),
-        interpret=interpret,
+        interpret=pltpu.InterpretParams(detect_races=detect_races)
+        if interpret else False,
     )
 
 
@@ -153,10 +164,17 @@ def exchange_round_rdma(
     axis: str,
     *,
     strategy: str | None = None,
+    detect_races: bool = False,
 ):
     """One distributed digit round with the ragged RDMA exchange (inside
     shard_map).  Returns (new_local_keys, overflowed=False) — raggedness
-    means there is no capacity to overflow."""
+    means there is no capacity to overflow.
+
+    ``detect_races=True`` (virtual mesh only) runs the kernel under the
+    Mosaic interpreter's vector-clock race detector — a checked proof that
+    the counts-derived receive layout is write-disjoint across senders
+    (the exchange's core safety invariant).  Goes beyond the reference,
+    whose concurrency safety is by construction only (SURVEY §5)."""
     n_local = local_keys.shape[0]
     if n_local % LANES:
         raise ValueError(f"n_local {n_local} must be a multiple of {LANES}")
@@ -200,7 +218,9 @@ def exchange_round_rdma(
             jnp.zeros((RCHUNK, LANES), KEY_DTYPE),  # chunk overread slack
         ]
     )
-    buf = _xchg_call(x.shape[0], out_rows, int(P_), axis, _interpret())(
+    buf = _xchg_call(
+        x.shape[0], out_rows, int(P_), axis, _interpret(), detect_races
+    )(
         row0[my].astype(jnp.int32),
         chunks[my].astype(jnp.int32),
         dst_rows[my].astype(jnp.int32),
