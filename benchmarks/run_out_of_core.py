@@ -74,8 +74,7 @@ def payload_for(keys: np.ndarray, idx0: int, payload_bytes: int) -> np.ndarray:
         j8 = np.arange(8, payload_bytes, dtype=np.uint64).astype(np.uint8)
         np.add(idx8[:, None], j8[None, :], out=out[:, 8:])
     else:
-        j8 = np.arange(4, payload_bytes, dtype=np.uint64).astype(np.uint8)
-        np.add(idx8[:, None], j8[None, :], out=out[:, 4:])
+        raise ValueError("payload_bytes must be >= 8 (binding + index)")
     return out
 
 
@@ -106,6 +105,11 @@ def main():
 
     n = args.rows
     pb = args.payload_bytes
+    if pb != 0 and pb < 8:
+        # The streaming exactness proof needs the key-xor binding (4B) AND
+        # the original-index field (>=4B): without the index, stability and
+        # row conservation cannot be proven and "exact" would overclaim.
+        ap.error("--payload-bytes must be 0 (keys-only) or >= 8")
     row_bytes = 4 + pb
     factory = FileArrayFactory(args.mount)
     stats = SortStats()

@@ -97,10 +97,13 @@ def _slot_rows(b_out: int) -> int:
     return (raw // CHUNK_ROWS) * CHUNK_ROWS
 
 
-# front padding of the source array: chunk reads start up to b_rows rows
-# before the fragment's first source row (dst-row alignment) — keep them
-# in bounds for any geometry used (b_out <= 2^16 -> 512 rows).
-SRC_FRONT_ROWS = 520  # 512 + 8, a multiple of CHUNK_ROWS
+# front padding of the source array: with window-anchored fragments the
+# chunk reads start at most (dr0 mod CHUNK_ROWS) + 1 <= CHUNK_ROWS rows
+# before the fragment's first source row (rs = SRC_FRONT_ROWS + r0 -
+# (dr0 - a0) - extra), INDEPENDENT of b_out — so any b_out from
+# auto_geometry is in bounds.  520 rows is generous headroom (one-time
+# 260 KiB concat), kept stable so compiled Mosaic geometries stay cached.
+SRC_FRONT_ROWS = 520  # multiple of CHUNK_ROWS
 
 
 # ---------------------------------------------------------------------------

@@ -66,6 +66,21 @@ def _xchg_kernel(
 
     my = my_ref[0]
 
+    # Entry barrier (uses the kernel's collective_id): no chip may begin
+    # remote writes until every chip has entered this round's kernel.
+    # Without it, a fast chip's round-k+1 chunks could signal a slow
+    # peer's recv semaphore while it is still draining round k, making it
+    # exit wait_recv early and read not-yet-written rows.
+    barrier = pltpu.get_barrier_semaphore()
+    for s in range(1, nchips):
+        pltpu.semaphore_signal(
+            barrier,
+            1,
+            device_id=lax.rem(my + jnp.int32(s), jnp.int32(nchips)),
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+    pltpu.semaphore_wait(barrier, nchips - 1)
+
     # Issue every outgoing chunk, spread over peers starting at my+1.
     for s in range(nchips):
         c = lax.rem(my + jnp.int32(s), jnp.int32(nchips))
@@ -206,7 +221,11 @@ def exchange_round_rdma(
     sb = jnp.cumsum(M, axis=1) - M  # (P, P) element start in src's shard
     phase = sb % LANES
     row0 = sb // LANES
-    rows_needed = (phase + M + LANES - 1) // LANES
+    # Empty (src, dst) pairs schedule zero chunks even when their start
+    # phase is lane-misaligned (phase > 0 with M == 0 would otherwise
+    # round up to a junk chunk per pair — ~P^2 wasted 8 KiB transfers
+    # under skew).
+    rows_needed = jnp.where(M > 0, (phase + M + LANES - 1) // LANES, 0)
     chunks = (rows_needed + RCHUNK - 1) // RCHUNK  # (P, P)
     padded_rows = chunks * RCHUNK
     dst_rows = jnp.cumsum(padded_rows, axis=0) - padded_rows  # (P, P) [i, c]

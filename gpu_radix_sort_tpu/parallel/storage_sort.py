@@ -219,14 +219,15 @@ def local_distrib_worker(
     counts = np.asarray(jax.device_get(counts), dtype=np.int64)
     counts[-1] -= n_pad - n
     # D2H is the round's narrow edge on a tunneled runtime — fetch the
-    # sorted keys as parallel chunk streams (utils/transfer.py).
-    host_sorted = chunked_device_get(sorted_keys)[:n]
+    # sorted keys as parallel chunk streams (utils/transfer.py); limit=n
+    # keeps the pow2 pad tail off the wire.
+    host_sorted = chunked_device_get(sorted_keys, limit=n)
     _worker_vlog(out_name, "sorted keys on host; writing buckets")
 
     caps = counts * KEY_BYTES
     out = factory.create(out_name, create_shape(caps.tolist()))
     offsets = np.concatenate([[0], np.cumsum(counts)])
-    view = memoryview(host_sorted.tobytes())
+    view = memoryview(np.ascontiguousarray(host_sorted).view(np.uint8))
     for d in range(1 << width):
         lo, hi = int(offsets[d]) * KEY_BYTES, int(offsets[d + 1]) * KEY_BYTES
         if hi > lo:
@@ -514,12 +515,12 @@ def local_distrib_worker_kv(
     padded[:n] = keys
     _worker_vlog(out_name, f"fetched n={n:,} rows; device digit argsort")
     order, counts = _jitted_digit_order_counts()(padded, offset, width)
-    order = chunked_device_get(order)
+    order = chunked_device_get(order, limit=n)  # pad tail stays on device
     counts = np.asarray(jax.device_get(counts), dtype=np.int64)
     counts[-1] -= n_pad - n
 
     _worker_vlog(out_name, "order on host; permuting rows")
-    rows_sorted = rows[order[:n]]  # host permutation of full rows
+    rows_sorted = rows[order]  # host permutation of full rows
     caps = counts * row_bytes
     out = factory.create(out_name, create_shape(caps.tolist()))
     offsets = np.concatenate([[0], np.cumsum(counts)])
