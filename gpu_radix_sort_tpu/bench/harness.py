@@ -339,14 +339,16 @@ def bench_storage_kv(
     payload = generate_payloads(n, payload_bytes=payload_bytes)
     stats = SortStats()
 
-    def run(tag):
+    def run(tag, rec=stats):
         return sort_distrib_from_raw_kv(
             keys, payload, tag, cfg.make_factory(),
-            width=cfg.width, nworker=cfg.nworker, stats=stats,
+            width=cfg.width, nworker=cfg.nworker, stats=rec,
         )
 
     if warmup:
-        run("kv_warmup")
+        # cold-compile phases go to a throwaway recorder so the reported
+        # phase stack decomposes only the timed reps (as bench_storage_distrib)
+        run("kv_warmup", rec=SortStats())
     times = []
     for rep in range(reps):
         t0 = time.perf_counter()

@@ -112,6 +112,15 @@ class DeviceDistribArray(DistribArray):
 
         with self._lock:
             self._check_alive()
+            if self._backing is not None:
+                # Without this guard a per-part commit after a packed commit
+                # would pass the length checks but be shadowed by the
+                # backing in _part_view — served as ANOTHER partition's
+                # bytes, silently.
+                raise IOError(
+                    f"{self._name}[{idx}]: array committed via "
+                    "put_device_packed; partitions are immutable"
+                )
             if self._lens[idx] or self._pending[idx]:
                 raise IOError(f"{self._name}[{idx}]: partition already written")
             if dev_array.dtype != jnp.uint8 or dev_array.ndim != 1:

@@ -55,9 +55,13 @@ B_OUT = 1 << 16  # output block per merge program (64K keys; measured best)
 
 
 def _w_rows(b_out: int) -> int:
-    """Window rows: one row of alignment slack, rounded up so the DMA size
-    and scratch stay multiples of the (8, 128) tile."""
-    return b_out // LANES + 8
+    """Window rows: one row of alignment slack, then rounded UP to a
+    multiple of 8 so DMA windows/scratch stay on the (8, 128) tile — a
+    non-multiple-of-8 row count crashes the TPU worker (PERF_NOTES).
+    Production b_out=2^16 gives 520 rows, unchanged by the rounding (the
+    compiled Mosaic geometry stays cached)."""
+    rows = b_out // LANES + 8
+    return rows + (-rows) % 8
 
 
 # ---------------------------------------------------------------------------

@@ -45,7 +45,10 @@ MAX_N_KV = 1 << 16
 # Measured on TPU v5e (repeat-chain device timing): pallas ~132us/sort flat
 # vs lax.sort 125->188us growing with n; crossover near 2^15.
 AUTO_MIN_N = 1 << 15
-PAD = jnp.uint32(0xFFFFFFFF)
+# numpy scalar, NOT jnp: a module-scope jax array would initialize the
+# backend at import time, locking the process onto the tunneled TPU before
+# callers can pin the platform (CLAUDE.md env gotcha).
+PAD = np.uint32(0xFFFFFFFF)
 
 
 def _tpu_roll(x, shift: int, axis: int):

@@ -18,6 +18,7 @@ All functions are jit/vmap/shard_map-safe.
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
@@ -25,7 +26,9 @@ from .bits import KEY_DTYPE
 
 # Fibonacci multiplicative hashing: odd constant ≈ 2^32/phi; bijective on
 # uint32 (odd multiplier), avalanche-boosted by the xor-shift.
-_HASH_MULT = jnp.uint32(2654435769)
+# numpy scalar, NOT jnp: module-scope jax arrays initialize the
+# backend at import (see ops/pallas_sort.PAD).
+_HASH_MULT = np.uint32(2654435769)
 
 
 def hash_u32(keys: jnp.ndarray) -> jnp.ndarray:

@@ -72,8 +72,12 @@ def build_distributed_sort(
     loop is the reference's ``nstep = 32/width`` structure
     (distrib.go:109-176) with the exchange fused into each round.
     """
-    if KEY_BITS % width:
-        raise ValueError(f"width {width} must divide {KEY_BITS}")
+    if KEY_BITS % width or width > 16:
+        # width=32 would need 2^32 digit-count bins and a sentinel digit
+        # beyond uint32 — reject up front (use sort_full for one chip).
+        raise ValueError(
+            f"width {width} must divide {KEY_BITS} and be <= 16"
+        )
     if exchange not in _VALID_EXCHANGE:
         raise ValueError(f"exchange must be one of {_VALID_EXCHANGE}")
     nchips = mesh.shape[axis]

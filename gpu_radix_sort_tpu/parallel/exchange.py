@@ -34,13 +34,16 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..ops.bits import KEY_DTYPE, extract_digits
 from ..ops.boundaries import digit_counts_sorted
 from ..ops.radix_sort import sort_by_digits
 
-PAD_KEY = jnp.uint32(0xFFFFFFFF)
+# numpy scalar, NOT jnp: a module-scope jax array would initialize the
+# backend at import (see ops/pallas_sort.PAD).
+PAD_KEY = np.uint32(0xFFFFFFFF)
 
 
 def _pos_dtype():
@@ -75,6 +78,41 @@ def default_capacity(n_local: int, nchips: int, capacity_factor: float) -> int:
     even = -(-n_local // nchips)
     cap = int(even * capacity_factor) + 64
     return min(n_local, cap)
+
+
+def _round_metadata(local_keys, offset, width, axis, strategy):
+    """Counts-first prologue shared by every collective exchange: local
+    stable digit sort, all-gathered count matrix, and the metadata-derived
+    (send_bounds, send_count, recv_count) — destinations are monotone
+    along the digit-sorted shard, so per-peer slices are windows."""
+    n_local = local_keys.shape[0]
+    P_ = lax.axis_size(axis)
+    my = lax.axis_index(axis)
+    pos_t = _pos_dtype()
+
+    sorted_local = sort_by_digits(local_keys, offset, width, strategy=strategy)
+    counts = digit_counts_sorted(sorted_local, offset, width)  # (D,) int32
+
+    all_counts = lax.all_gather(counts, axis)  # (P, D)
+    S_all = _run_starts_global(all_counts)  # (P, D) global run starts
+    S_my = S_all[my]
+
+    # Send slice boundaries: first local index destined to chip c.
+    chip_bounds = jnp.arange(P_ + 1, dtype=pos_t) * pos_t(n_local)
+    send_bounds = jax.vmap(
+        lambda b: _slice_counts(S_my, counts, b)
+    )(chip_bounds)  # (P+1,)
+    send_count = send_bounds[1:] - send_bounds[:-1]
+
+    # Valid counts per received chunk, from metadata alone:
+    # recv_count[i] = |{elements of chip i with dest in my range}|.
+    lo = pos_t(n_local) * my.astype(pos_t)
+    hi = lo + pos_t(n_local)
+    recv_count = jax.vmap(
+        lambda S_i, c_i: _slice_counts(S_i, c_i, hi)
+        - _slice_counts(S_i, c_i, lo)
+    )(S_all, all_counts)  # (P,)
+    return sorted_local, send_bounds, send_count, recv_count
 
 
 def _run_starts_global(all_counts: jnp.ndarray):
@@ -116,24 +154,11 @@ def exchange_round_alltoall(
     """
     n_local = local_keys.shape[0]
     P_ = lax.axis_size(axis)
-    my = lax.axis_index(axis)
     D = 1 << width
-    pos_t = _pos_dtype()
 
-    sorted_local = sort_by_digits(local_keys, offset, width, strategy=strategy)
-    counts = digit_counts_sorted(sorted_local, offset, width)  # (D,) int32
-
-    all_counts = lax.all_gather(counts, axis)  # (P, D)
-    S_all = _run_starts_global(all_counts)  # (P, D) global run starts
-    S_my = S_all[my]
-
-    # Send slice boundaries: first local index destined to chip c
-    # (destinations are monotone along the digit-sorted shard).
-    chip_bounds = jnp.arange(P_ + 1, dtype=pos_t) * pos_t(n_local)
-    send_bounds = jax.vmap(
-        lambda b: _slice_counts(S_my, counts, b)
-    )(chip_bounds)  # (P+1,)
-    send_count = send_bounds[1:] - send_bounds[:-1]
+    sorted_local, send_bounds, send_count, recv_count = _round_metadata(
+        local_keys, offset, width, axis, strategy
+    )
     overflowed = jnp.any(send_count > capacity)
 
     # (P, capacity) send buffer: one windowed slice per destination chip.
@@ -144,15 +169,6 @@ def exchange_round_alltoall(
     send_keys = send_windows(padded, send_bounds[:-1], capacity)  # (P, C)
 
     recv_keys = lax.all_to_all(send_keys, axis, 0, 0, tiled=False)
-
-    # Valid counts per received chunk, from metadata alone:
-    # recv_count[i] = |{elements of chip i with dest in my range}|.
-    lo = pos_t(n_local) * my.astype(pos_t)
-    hi = lo + pos_t(n_local)
-    recv_count = jax.vmap(
-        lambda S_i, c_i: _slice_counts(S_i, c_i, hi)
-        - _slice_counts(S_i, c_i, lo)
-    )(S_all, all_counts)  # (P,)
 
     # Reassembly: receive order is (src chip, run order) = (i, (d, r)); a
     # stable sort by digit yields (d, i, r) — global destination order
@@ -202,22 +218,11 @@ def exchange_round_alltoall_overflow(
     """
     n_local = local_keys.shape[0]
     P_ = lax.axis_size(axis)
-    my = lax.axis_index(axis)
     D = 1 << width
-    pos_t = _pos_dtype()
 
-    sorted_local = sort_by_digits(local_keys, offset, width, strategy=strategy)
-    counts = digit_counts_sorted(sorted_local, offset, width)
-
-    all_counts = lax.all_gather(counts, axis)
-    S_all = _run_starts_global(all_counts)
-    S_my = S_all[my]
-
-    chip_bounds = jnp.arange(P_ + 1, dtype=pos_t) * pos_t(n_local)
-    send_bounds = jax.vmap(
-        lambda b: _slice_counts(S_my, counts, b)
-    )(chip_bounds)
-    send_count = send_bounds[1:] - send_bounds[:-1]
+    sorted_local, send_bounds, send_count, recv_count = _round_metadata(
+        local_keys, offset, width, axis, strategy
+    )
     send1 = jnp.minimum(send_count, capacity0)
     send2 = send_count - send1
     overflowed = jnp.any(send2 > capacity_ov)
@@ -232,12 +237,6 @@ def exchange_round_alltoall_overflow(
     recv_main = lax.all_to_all(send_main, axis, 0, 0, tiled=False)
     recv_over = lax.all_to_all(send_over, axis, 0, 0, tiled=False)
 
-    lo = pos_t(n_local) * my.astype(pos_t)
-    hi = lo + pos_t(n_local)
-    recv_count = jax.vmap(
-        lambda S_i, c_i: _slice_counts(S_i, c_i, hi)
-        - _slice_counts(S_i, c_i, lo)
-    )(S_all, all_counts)
     recv1 = jnp.minimum(recv_count, capacity0)
     recv2 = recv_count - recv1
 

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.bits import KEY_DTYPE
@@ -41,7 +41,9 @@ from ..ops.table import VALID_AGG_OPS, group_aggregate_sorted, hash_u32
 from .exchange import send_windows
 from .mesh import KEY_AXIS, key_mesh
 
-HASH_PAD = jnp.uint32(0xFFFFFFFF)
+# numpy scalar, NOT jnp: module-scope jax arrays initialize the backend
+# at import (see ops/pallas_sort.PAD).
+HASH_PAD = np.uint32(0xFFFFFFFF)
 
 
 def _identity(op: str, dtype) -> jnp.ndarray:

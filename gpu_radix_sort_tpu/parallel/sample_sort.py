@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.bits import KEY_DTYPE
@@ -44,12 +44,9 @@ from .mesh import KEY_AXIS, key_mesh
 from ..ops.radix_sort import MAX_SORT_LANES  # single source of truth
 
 
-def default_pair_capacity(n_local: int, nchips: int, capacity_factor: float) -> int:
-    """Capacity of one (src chip -> dst chip) transfer slot."""
-    if nchips == 1:
-        return n_local
-    expected = -(-n_local // nchips)
-    return min(n_local, int(expected * capacity_factor) + 64)
+# Capacity of one (src chip -> dst chip) transfer slot — same policy as
+# the LSD exchange; one implementation so headroom changes can't drift.
+from .exchange import default_capacity as default_pair_capacity
 
 
 def _sample_sort_shard(local_keys, *, axis, capacity):
@@ -259,6 +256,10 @@ def sort_key_value_distributed(
                 "values must be (n, W) uint32 or (n, B) uint8 with B % 4 == 0"
             )
         vals_u32 = values.view(np.uint32).reshape(n, -1)
+    if vals_u32.ndim != 2:
+        raise ValueError(
+            "values must be (n, W) uint32 or (n, B) uint8 with B % 4 == 0"
+        )
     W = vals_u32.shape[1]
 
     n_local = max(-(-n // nchips), nchips)

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from gpu_radix_sort_tpu.parallel import exchange as ex
 from gpu_radix_sort_tpu.parallel import distributed, key_mesh
