@@ -35,12 +35,12 @@ def _cmd_gen(args) -> int:
 def _load_keys(args) -> np.ndarray:
     if args.infile:
         keys = np.fromfile(args.infile, dtype=np.uint32)
-        if args.n:
+        if args.n is not None:
             keys = keys[: args.n]
         return keys
     from .utils.keygen import Pcg32
 
-    return Pcg32().fill(args.n or 1 << 20)
+    return Pcg32().fill(args.n if args.n is not None else 1 << 20)
 
 
 def _cmd_sort(args) -> int:
@@ -61,20 +61,29 @@ def _cmd_sort(args) -> int:
     elif args.mode == "mesh":
         from .parallel.distributed import sort_distributed
 
-        got = sort_distributed(keys, width=args.width, exchange=args.exchange)
+        got = sort_distributed(
+            keys, width=args.width if args.width is not None else 8,
+            exchange=args.exchange,
+        )
     elif args.mode == "sample":
         from .parallel.sample_sort import sort_distributed_sample
 
         got = sort_distributed_sample(keys)
     else:  # storage
-        cfg = SortConfig.from_env(
-            width=args.width,
-            nworker=args.nworker,
-            backend=args.backend,
-            worker=args.worker,
-            mount=args.mount,
-            checkpoint_dir=args.checkpoint_dir,
-        ).validate()
+        explicit = {
+            k: v
+            for k, v in dict(
+                width=args.width,
+                nworker=args.nworker,
+                strategy=args.strategy,
+                backend=args.backend,
+                worker=args.worker,
+                mount=args.mount,
+                checkpoint_dir=args.checkpoint_dir,
+            ).items()
+            if v is not None  # unset flags must not clobber GRS_* env
+        }
+        cfg = SortConfig.from_env(**explicit).validate()
         from .parallel.storage_sort import sort_distrib_from_raw
 
         got = sort_distrib_from_raw(
@@ -213,12 +222,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--n", type=int, default=None)
     s.add_argument("--in", dest="infile", default=None)
     s.add_argument("--out", default=None)
-    s.add_argument("--width", type=int, default=8)
+    # storage-mode knobs default to None (= not explicitly set) so the
+    # GRS_* environment keeps the documented precedence: explicit flag >
+    # env > dataclass default (utils/config.py).
+    s.add_argument("--width", type=int, default=None)
     s.add_argument("--strategy", default=None)
     s.add_argument("--exchange", default="auto")
-    s.add_argument("--nworker", type=int, default=2)
-    s.add_argument("--backend", default="mem")
-    s.add_argument("--worker", default="local")
+    s.add_argument("--nworker", type=int, default=None)
+    s.add_argument("--backend", default=None)
+    s.add_argument("--worker", default=None)
     s.add_argument("--mount", default=None)
     s.add_argument("--checkpoint-dir", default=None)
     s.add_argument("--verify", action="store_true")

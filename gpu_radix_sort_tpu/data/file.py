@@ -84,6 +84,7 @@ class FileDistribArray(DistribArray):
         self._starts = shape.starts()
         self._lock = threading.Lock()
         self._dirty = False
+        self._wf = None  # persistent append handle (lazy; see _append)
 
     # -- construction -------------------------------------------------------
 
@@ -142,9 +143,14 @@ class FileDistribArray(DistribArray):
                     f"{self._name}[{idx}]: write of {len(data)} bytes exceeds "
                     f"cap {self._caps[idx]} (len {ln})"
                 )
-            with open(self._data_path(), "r+b") as f:
-                f.seek(self._starts[idx] + ln)
-                f.write(data)
+            # One persistent handle per array: a width-16 worker round
+            # makes up to 2^16 write_part calls; reopening per append paid
+            # open+close syscalls under the lock for every bucket.
+            if self._wf is None:
+                self._wf = open(self._data_path(), "r+b")
+            self._wf.seek(self._starts[idx] + ln)
+            self._wf.write(data)
+            self._wf.flush()  # readers re-open the path; keep bytes visible
             self._shape_lens[idx] = ln + len(data)
             self._dirty = True
             return len(data)
@@ -175,10 +181,17 @@ class FileDistribArray(DistribArray):
         with self._lock:
             dirty = self._dirty
             self._dirty = False
+            if self._wf is not None:
+                self._wf.close()
+                self._wf = None
         if dirty:
             self._commit_meta()
 
     def destroy(self) -> None:
+        with self._lock:
+            if self._wf is not None:
+                self._wf.close()
+                self._wf = None
         shutil.rmtree(self._dir(), ignore_errors=True)
 
 

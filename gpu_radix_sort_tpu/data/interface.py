@@ -228,6 +228,13 @@ class PartRef:
     nbyte: int
 
     def reader(self) -> PartReader:
+        if self.nbyte == 0:
+            # end == start would hit the backends' "end <= 0 means len+end"
+            # convention when start == 0 and read the WHOLE partition; an
+            # empty ref must yield an empty reader.
+            import io
+
+            return io.BytesIO(b"")
         return self.arr.get_part_range_reader(
             self.part_idx, self.start, self.start + self.nbyte
         )

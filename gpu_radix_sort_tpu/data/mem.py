@@ -26,7 +26,6 @@ from .interface import (
 
 # Opt-in process-global registry (the reference's `arrays` map, mem.go:21).
 GLOBAL_REGISTRY: dict[str, "MemDistribArray"] = {}
-_GLOBAL_LOCK = threading.Lock()
 
 
 class _MemPartReader(PartReader):
@@ -126,13 +125,25 @@ class MemArrayFactory(ArrayFactory):
     """Factory over a (shared or private) name registry
     (reference: MemArrayFactory, mem.go:84-114)."""
 
+    # One lock PER REGISTRY OBJECT (keyed by id), not per factory: two
+    # factories sharing one plain-dict registry must synchronize on the
+    # same lock or concurrent create() of the same name can silently
+    # overwrite instead of raising FileExistsError.
+    _registry_locks: dict[int, threading.Lock] = {}
+    _locks_guard = threading.Lock()
+
     def __init__(self, registry: dict | None = None):
-        self._registry = GLOBAL_REGISTRY if registry is GLOBAL_REGISTRY else (
-            registry if registry is not None else {}
-        )
-        self._lock = _GLOBAL_LOCK if self._registry is GLOBAL_REGISTRY else (
-            threading.Lock()
-        )
+        if registry is None:
+            # private registry: nobody else can hold this dict, so a
+            # per-factory lock suffices (and the shared table stays small)
+            self._registry = {}
+            self._lock = threading.Lock()
+            return
+        self._registry = registry
+        with MemArrayFactory._locks_guard:
+            self._lock = MemArrayFactory._registry_locks.setdefault(
+                id(registry), threading.Lock()
+            )
 
     def create(self, name: str, shape: DistribArrayShape) -> DistribArray:
         arr = MemDistribArray(name, shape)

@@ -48,23 +48,24 @@ def initialize_distributed(
     Idempotent; safe to call single-process (returns False)."""
     import jax
 
-    if jax.process_count() > 1:
-        return True
+    # Decide from env/args FIRST: jax.process_count() initializes the XLA
+    # backends, and jax.distributed.initialize() must run before any JAX
+    # computation — probing process_count up front would guarantee the
+    # bring-up below fails on a real pod.
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     num_processes = num_processes or _int_env("JAX_NUM_PROCESSES")
     process_id = process_id if process_id is not None else _int_env("JAX_PROCESS_ID")
     if not coordinator and num_processes is None:
-        return False  # single-process run
-    try:
+        return jax.process_count() > 1  # single-process / autodetected run
+    from jax._src.distributed import global_state
+
+    already = global_state.client is not None
+    if not already:
         jax.distributed.initialize(
             coordinator_address=coordinator,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:
-        # already initialized (e.g. a second defensive call in a
-        # single-process smoke config where process_count stays 1)
-        pass
     return jax.process_count() > 1
 
 

@@ -275,8 +275,19 @@ class WorkerPool:
                 proc = None
             if proc is None:
                 proc = self._spawn()
-            proc.stdin.write(json.dumps(event) + "\n")
-            proc.stdin.flush()
+            try:
+                proc.stdin.write(json.dumps(event) + "\n")
+                proc.stdin.flush()
+            except (BrokenPipeError, OSError) as e:
+                # died between the liveness check and the write: reap (else
+                # the Popen lingers unreaped in _procs) and surface the
+                # same died-mid-event error as the empty-readline path.
+                rc = proc.poll()
+                self._reap(proc)
+                proc = None
+                raise RuntimeError(
+                    f"worker process died mid-event (rc={rc})"
+                ) from e
             line = proc.stdout.readline()
             if not line:
                 rc = proc.poll()

@@ -59,10 +59,13 @@ def _handle(event: dict, mount: str, profile_dir: str | None) -> dict:
 def main() -> int:
     serve = "--serve" in sys.argv[1:]
     mount = os.environ.get("GRS_TPU_MOUNT")
+    # Errors are in-band ({success: false} on stdout, exit 0) for EVERY
+    # validation path: invoke_subprocess only surfaces stderr on a nonzero
+    # exit, so exiting 1 after printing JSON would discard the message.
     if not mount:
         print(json.dumps({"success": False, "err": "GRS_TPU_MOUNT not set"}),
               flush=True)
-        return 1
+        return 0
     profile_dir = os.environ.get("GRS_PROFILE_DIR")
 
     if not serve:
@@ -70,7 +73,7 @@ def main() -> int:
             event = json.load(sys.stdin)
         except json.JSONDecodeError as e:
             print(json.dumps({"success": False, "err": f"bad event JSON: {e}"}))
-            return 1
+            return 0
         print(json.dumps(_handle(event, mount, profile_dir)))
         return 0  # handler errors are in-band; nonzero = process failure
 

@@ -78,7 +78,7 @@ class SortConfig:
             raise ValueError(f"nworker must be >= 1, got {self.nworker}")
         if self.strategy not in ("auto", "xla", "pallas", "pallas_radix"):
             raise ValueError(f"unknown strategy {self.strategy!r}")
-        if self.exchange not in ("auto", "alltoall", "overflow", "gather"):
+        if self.exchange not in ("auto", "alltoall", "overflow", "gather", "rdma"):
             raise ValueError(f"unknown exchange {self.exchange!r}")
         if self.backend not in ("mem", "file", "device"):
             raise ValueError(f"unknown backend {self.backend!r}")
