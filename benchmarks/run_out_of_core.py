@@ -50,7 +50,8 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def payload_for(keys: np.ndarray, idx0: int, payload_bytes: int) -> np.ndarray:
+def payload_for(keys: np.ndarray, idx0: int, payload_bytes: int,
+                out: np.ndarray | None = None) -> np.ndarray:
     """Deterministic payload rows for keys[i] at original index idx0+i:
     [key ^ KEY_XOR (4B LE)] [index (8B LE, or 4B LE when payload < 12B)]
     [filler = (index + j) & 0xFF].  The index field is what lets the
@@ -58,7 +59,8 @@ def payload_for(keys: np.ndarray, idx0: int, payload_bytes: int) -> np.ndarray:
     the full payload; 8-byte payloads carry it as u32 (valid to 2^32-1
     rows)."""
     n = keys.size
-    out = np.empty((n, payload_bytes), dtype=np.uint8)
+    if out is None:
+        out = np.empty((n, payload_bytes), dtype=np.uint8)
     out[:, :4] = (keys ^ KEY_XOR).view(np.uint8).reshape(n, 4)
     idx = np.arange(idx0, idx0 + n, dtype=np.uint64)
     # (idx + j) & 0xFF == u8 wraparound of (idx & 0xFF) + (j & 0xFF):
@@ -105,6 +107,12 @@ def main():
 
     n = args.rows
     pb = args.payload_bytes
+    if 8 <= pb < 12 and n > (1 << 32):
+        # the 8-11B payload carries the original index as u32; beyond
+        # 2^32 rows it wraps and the stability/conservation proof breaks
+        # (a correct sort would be reported as a FATAL stability
+        # violation).  12B+ payloads carry a u64 index.
+        ap.error("--payload-bytes < 12 limits --rows to 2^32 (u32 index)")
     if pb != 0 and pb < 8:
         # The streaming exactness proof needs the key-xor binding (4B) AND
         # the original-index field (>=4B): without the index, stability and
@@ -121,17 +129,13 @@ def main():
     # ---- stage input in chunks (no full-row materialization) -------------
     t0 = time.time()
     gen = Pcg32()
-    all_keys = np.empty(n, dtype=np.uint32)  # key oracle (4B/row only)
     if args.skip_staging:
         arr_in = factory.open(f"{args.name}.input")
         got = sum(arr_in.get_shape().lens)
         if got != n * row_bytes:
             log(f"FATAL: staged input holds {got} bytes, want {n * row_bytes}")
             sys.exit(2)
-        for c0 in range(0, n, CHUNK_ROWS):
-            c1 = min(c0 + CHUNK_ROWS, n)
-            all_keys[c0:c1] = gen.fill(c1 - c0)
-        log(f"reused staged input; key oracle in {time.time() - t0:.1f}s")
+        log("reused staged input")
     else:
         arr_in = factory.create(
             f"{args.name}.input", create_shape([n * row_bytes])
@@ -140,11 +144,10 @@ def main():
         for c0 in range(0, n, CHUNK_ROWS):
             c1 = min(c0 + CHUNK_ROWS, n)
             keys = gen.fill(c1 - c0)
-            all_keys[c0:c1] = keys
             if pb:
                 rows = np.empty((c1 - c0, row_bytes), dtype=np.uint8)
                 rows[:, :4] = keys.view(np.uint8).reshape(-1, 4)
-                rows[:, 4:] = payload_for(keys, c0, pb)
+                payload_for(keys, c0, pb, out=rows[:, 4:])
                 w.write(memoryview(rows.reshape(-1)))
             else:
                 w.write(memoryview(keys.view(np.uint8)))
@@ -181,7 +184,15 @@ def main():
     log(f"sorted in {sort_s:.1f}s  phases={stats.report()}")
 
     # ---- verify (streaming) ------------------------------------------------
+    # The oracle is REGENERATED here (deterministic PCG32 stream) rather
+    # than held through the sort: peak host RSS during the rounds drops by
+    # rows*4 bytes (16 GB at the 4B-row config).
     t0 = time.time()
+    all_keys = np.empty(n, dtype=np.uint32)
+    oracle_gen = Pcg32()
+    for c0 in range(0, n, CHUNK_ROWS):
+        c1 = min(c0 + CHUNK_ROWS, n)
+        all_keys[c0:c1] = oracle_gen.fill(c1 - c0)
     want_keys = np.sort(all_keys)
     del all_keys
     reader = BucketReader(outputs, ReadOrder.STRIDED)

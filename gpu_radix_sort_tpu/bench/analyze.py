@@ -72,6 +72,12 @@ def report_compare(base: list[dict], new: list[dict]) -> str:
             f"{r['name']:<34} {b['rate_per_s'] / 1e6:>11.1f}M "
             f"{r['rate_per_s'] / 1e6:>11.1f}M {speed:>7.2f}x"
         )
+    # benchmarks present only in the base run: a run that LOSES a
+    # benchmark (crash, removal) must not read as a clean comparison.
+    new_names = {r["name"] for r in new}
+    for r in base:
+        if r["name"] not in new_names:
+            out.append(f"{r['name']:<34} {_fmt_rate(r):>12} {'—':>12}")
     return "\n".join(out)
 
 

@@ -99,7 +99,9 @@ class DistributedSortPipeline:
     """Full training-step analog: the distributed sort with real shardings
     over the mesh.  ``algorithm``: "lsd" = reference-parity 32/width radix
     rounds; "sample" = PSRS performance mode (one local sort + one
-    splitter exchange)."""
+    splitter exchange).  NOTE: the sample path enforces a capacity_factor
+    floor of 1.5 — splitter balance is approximate, and factors below
+    that overflow on ordinary inputs, so lower settings are raised to it."""
 
     n_local: int = 1 << 16
     width: int = 8

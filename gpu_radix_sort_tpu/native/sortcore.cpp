@@ -109,7 +109,11 @@ bool cpu_sort_u32(uint32_t* data, uint64_t n) {
 // high->low backfill for empty groups > 1 (sort.cu:378-394).
 bool cpu_partial_u32(uint32_t* data, uint32_t* boundaries, uint64_t n,
                      uint32_t offset, uint32_t width) {
-  if (width == 0 || width > 32 || offset + width > 32) return false;
+  // check offset alone first: `offset + width` is uint32 arithmetic and
+  // can wrap (e.g. offset=0xFFFFFFFE, width=4 -> 2), passing the guard
+  // into shift UB.
+  if (width == 0 || width > 32 || offset > 32 || offset + width > 32)
+    return false;
   uint64_t nb = 1ull << width;
   uint32_t mask = (width == 32) ? 0xffffffffu : ((1u << width) - 1u);
   std::stable_sort(data, data + n, [&](uint32_t a, uint32_t b) {

@@ -100,8 +100,7 @@ def set_default_strategy(name: str) -> None:
     global _DEFAULT_STRATEGY
     if name not in _VALID:
         raise ValueError(f"strategy must be one of {_VALID}, got {name!r}")
-    global_name = name
-    _DEFAULT_STRATEGY = global_name
+    _DEFAULT_STRATEGY = name
 
 
 def get_default_strategy() -> str:
@@ -174,6 +173,15 @@ def sort_full(keys: jnp.ndarray, *, strategy: str | None = None) -> jnp.ndarray:
         from . import pallas_merge
 
         return pallas_merge.sort_full_large(keys)
+    if strategy == "pallas_radix":
+        # Mirror sort_by_digits: an explicit request must not silently run
+        # a different engine.  8x4-bit binning passes lose to the merge
+        # path for full sorts (measured, docs/PERF_NOTES.md round-2) so no
+        # full-sort engine path exists.
+        raise NotImplementedError(
+            "strategy='pallas_radix' covers partial/digit sorts; use "
+            "'pallas' or 'auto' for full sorts"
+        )
     return _sort_full_xla(keys)
 
 
@@ -287,6 +295,10 @@ def sort_key_value_by_digits(
     validate_digit_range(offset, width)
     keys = keys.astype(KEY_DTYPE)
     digits = extract_digits(keys, offset, width)
+    if width <= 8:  # same measured u8/u16 downcast as _sort_partial_xla
+        digits = digits.astype(jnp.uint8)
+    elif width <= 16:
+        digits = digits.astype(jnp.uint16)
     if values.ndim == 1 and values.dtype.itemsize <= 4:
         _, sk, sv = jax.lax.sort((digits, keys, values), num_keys=1,
                                  is_stable=True)

@@ -76,7 +76,9 @@ class SortConfig:
             raise ValueError(f"width {self.width} must divide 32")
         if self.nworker < 1:
             raise ValueError(f"nworker must be >= 1, got {self.nworker}")
-        if self.strategy not in ("auto", "xla", "pallas", "pallas_radix"):
+        from ..ops import radix_sort as _rs  # canonical list; no drift
+
+        if self.strategy not in _rs._VALID:
             raise ValueError(f"unknown strategy {self.strategy!r}")
         if self.exchange not in ("auto", "alltoall", "overflow", "gather", "rdma"):
             raise ValueError(f"unknown exchange {self.exchange!r}")

@@ -119,6 +119,11 @@ def cpu_partial(keys: np.ndarray, offset: int, width: int):
 
 
 def histogram(keys: np.ndarray, offset: int, width: int) -> np.ndarray | None:
+    if width <= 0 or width > 32 or offset < 0 or offset + width > 32:
+        # histogram_u32 itself has no return channel for bad ranges; an
+        # out-of-range shift is C++ UB (x86 shifts mod 32 — wrong counts,
+        # silently)
+        raise ValueError(f"invalid digit range offset={offset} width={width}")
     lib = _load()
     if lib is None:
         return None
