@@ -121,7 +121,11 @@ class DeviceDistribArray(DistribArray):
                     f"{self._name}[{idx}]: array committed via "
                     "put_device_packed; partitions are immutable"
                 )
-            if self._lens[idx] or self._pending[idx]:
+            if (
+                self._lens[idx]
+                or self._pending[idx]
+                or self._dev_parts[idx] is not None  # zero-length commit
+            ):
                 raise IOError(f"{self._name}[{idx}]: partition already written")
             if dev_array.dtype != jnp.uint8 or dev_array.ndim != 1:
                 raise ValueError("device part must be a 1-D uint8 array")
@@ -146,7 +150,12 @@ class DeviceDistribArray(DistribArray):
         lens = [int(x) for x in lens]
         with self._lock:
             self._check_alive()
-            if any(self._lens) or any(self._pending) or self._backing is not None:
+            if (
+                any(self._lens)
+                or any(self._pending)
+                or self._backing is not None
+                or any(p is not None for p in self._dev_parts)
+            ):
                 raise IOError(f"{self._name}: array already written")
             if len(lens) != len(self._caps):
                 raise ValueError(
@@ -192,7 +201,7 @@ class DeviceDistribArray(DistribArray):
             ln = self._lens[idx]
             if nbyte < 0:
                 nbyte = ln - start
-            if start < 0 or start + nbyte > ln:
+            if start < 0 or nbyte < 0 or start + nbyte > ln:
                 raise ValueError(
                     f"{self._name}[{idx}]: range [{start}, {start + nbyte}) "
                     f"out of committed len {ln}"

@@ -114,6 +114,14 @@ class DistributedSortPipeline:
     def build(self):
         mesh = self.mesh or key_mesh()
         if self.algorithm == "sample":
+            # PSRS takes no digit width / exchange / kernel strategy —
+            # surface explicit non-default settings instead of silently
+            # measuring a different configuration.
+            if self.strategy is not None or self.exchange != "alltoall":
+                raise ValueError(
+                    "algorithm='sample' ignores strategy/exchange; leave "
+                    "them at defaults or use algorithm='lsd'"
+                )
             from ..parallel import sample_sort
 
             fn, _ = sample_sort.build_sample_sort(

@@ -44,8 +44,10 @@ def hash_partition_ids(keys: jnp.ndarray, nparts: int) -> jnp.ndarray:
     """Radix hash partition: partition id = top log2(nparts) bits of the
     hash (uniform for any key distribution; duplicates co-locate, which is
     what partitioned aggregation wants)."""
-    if nparts & (nparts - 1):
-        raise ValueError(f"nparts must be a power of 2, got {nparts}")
+    if nparts < 1 or nparts & (nparts - 1):
+        # nparts=0 passes the pow2 check alone (0 & -1 == 0) and produces
+        # a 33-bit shift — silent garbage ids
+        raise ValueError(f"nparts must be a power of 2 >= 1, got {nparts}")
     shift = jnp.uint32(32 - (nparts.bit_length() - 1))
     if nparts == 1:
         return jnp.zeros_like(keys, dtype=jnp.uint32)
@@ -118,10 +120,16 @@ def group_aggregate_sorted(
         raise ValueError(f"op must be one of {VALID_AGG_OPS}, got {op!r}")
     n = sorted_keys.shape[0]
     k = sorted_keys.astype(KEY_DTYPE)
+    if values is None and op in ("min", "max"):
+        # aggregating implicit 1s under min/max returns all-1s — reject
+        # rather than hand back a meaningless result
+        raise ValueError(f"op={op!r} requires explicit values")
     if values is None or op == "count":
         values = jnp.ones_like(k, dtype=jnp.uint32 if op == "count" else jnp.float32)
         if op == "count":
             op = "sum"
+    if n == 0:
+        return k, values, jnp.int32(0)
 
     is_start = jnp.concatenate(
         [jnp.ones((1,), jnp.int32), (k[1:] != k[:-1]).astype(jnp.int32)]

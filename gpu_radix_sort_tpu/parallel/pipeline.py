@@ -29,6 +29,8 @@ row's key with the aggregation identity as value.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,7 +40,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.bits import KEY_DTYPE
 from ..ops.table import VALID_AGG_OPS, group_aggregate_sorted, hash_u32
-from .exchange import send_windows
+from .exchange import default_capacity, send_windows
 from .mesh import KEY_AXIS, key_mesh
 
 # numpy scalar, NOT jnp: module-scope jax arrays initialize the backend
@@ -118,8 +120,15 @@ def _pipeline_shard(keys, values, row_valid, *, axis, capacity, op, predicate):
     )
 
     # Regular sampling of the VALID prefix (positions i*ng/P, tiny gather).
-    sample_pos = (
-        jnp.arange(P_, dtype=jnp.int32) * jnp.maximum(ng, 1)
+    # Decomposed so i*ng never materializes: at pod scale (P=256,
+    # ng~2^24) the product exceeds int32 and wrapped to NEGATIVE sample
+    # positions (jnp.take then read the padding tail and splitters
+    # collapsed).  i*(ng//P) + (i*(ng%P))//P == (i*ng)//P exactly, with
+    # every intermediate <= ng + P^2.
+    ngc = jnp.maximum(ng, 1)
+    i_ = jnp.arange(P_, dtype=jnp.int32)
+    sample_pos = i_ * (ngc // jnp.int32(P_)) + (
+        i_ * (ngc % jnp.int32(P_))
     ) // jnp.int32(P_)
     samples = jnp.take(h_sorted, sample_pos)
     samples = jnp.where(ng > 0, samples, HASH_PAD)
@@ -191,11 +200,7 @@ def build_hash_aggregate(
     if op not in VALID_AGG_OPS:
         raise ValueError(f"op must be one of {VALID_AGG_OPS}, got {op!r}")
     nchips = mesh.shape[axis]
-    if nchips == 1:
-        capacity = n_local
-    else:
-        even = -(-n_local // nchips)
-        capacity = min(n_local, int(even * capacity_factor) + 64)
+    capacity = default_capacity(n_local, nchips, capacity_factor)
 
     fn = shard_map(
         lambda k, v, m: _pipeline_shard(
@@ -206,6 +211,14 @@ def build_hash_aggregate(
         out_specs=(P(axis), P(axis), P(axis), P()),
     )
     return jax.jit(fn), capacity
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_hash_aggregate(mesh, n_local, op, predicate, capacity_factor):
+    return build_hash_aggregate(
+        mesh, n_local, op=op, predicate=predicate,
+        capacity_factor=capacity_factor,
+    )
 
 
 def hash_aggregate_distributed(
@@ -247,12 +260,10 @@ def hash_aggregate_distributed(
     dv = jax.device_put(pad_vals, sharding)
     dm = jax.device_put(row_valid, sharding)
 
-    fn, capacity = build_hash_aggregate(
-        mesh,
-        n_local,
-        op=op,
-        predicate=predicate,
-        capacity_factor=capacity_factor,
+    # cache the built+jitted program: rebuilding per call created a fresh
+    # jit object every time, recompiling on the tunneled runtime (30-300s)
+    fn, capacity = _cached_hash_aggregate(
+        mesh, n_local, op, predicate, capacity_factor
     )
     gk, ga, ng, overflow = (
         np.asarray(jax.device_get(x)) for x in fn(dk, dv, dm)

@@ -19,7 +19,19 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["PALLAS_AXON_POOL_IPS"] = ""  # site hook off in subprocesses
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if "xla_force_host_platform_device_count" in flags:
+    # REPLACE a pre-existing count (e.g. =1 left over from a debug shell):
+    # keeping it would shrink the virtual mesh and let every sharding test
+    # pass trivially with zero multi-device coverage.
+    import re as _re
+
+    flags = _re.sub(
+        r"--xla_force_host_platform_device_count=\d+",
+        "--xla_force_host_platform_device_count=8",
+        flags,
+    )
+    os.environ["XLA_FLAGS"] = flags
+else:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
