@@ -17,7 +17,7 @@ example inputs, so drivers/benchmarks/compile-checks share one definition.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

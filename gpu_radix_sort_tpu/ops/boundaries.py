@@ -20,7 +20,6 @@ Two contracts are provided:
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .bits import KEY_DTYPE, extract_digits, validate_digit_range

@@ -51,7 +51,7 @@ from jax.experimental import pallas as pl
 
 from .bits import KEY_DTYPE, extract_digits, validate_digit_range
 from .pallas_merge import _flat_rot_left
-from .pallas_sort import LANES, _interpret, _tpu_roll
+from .pallas_sort import LANES, _interpret
 
 PAD = np.uint32(0xFFFFFFFF)
 

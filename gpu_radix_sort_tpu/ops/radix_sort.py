@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from .bits import KEY_DTYPE, extract_digits, validate_digit_range
-from .boundaries import compute_boundaries, digit_counts
+from .boundaries import compute_boundaries
 
 _DEFAULT_STRATEGY = "auto"
 _VALID = ("auto", "xla", "pallas", "pallas_radix")

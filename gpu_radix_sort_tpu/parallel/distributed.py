@@ -18,7 +18,6 @@ round loop maintains — so outputs match the reference sort bitwise.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,6 @@ Two strategies:
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -1,4 +1,4 @@
-"""Ragged bucket exchange over ICI via Pallas remote DMA (prototype).
+"""Ragged bucket exchange over ICI via Pallas remote DMA (first-class).
 
 The north-star exchange: after the local digit sort, each chip RDMAs its
 per-peer slices DIRECTLY into the receivers' buffers at counts-derived
@@ -40,7 +40,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 
