@@ -137,13 +137,14 @@ def test_rdma_exchange_round_exact(dist):
     np.testing.assert_array_equal(np.asarray(jax.device_get(got)), want)
 
 
-@pytest.mark.parametrize("n", [1111, 1 << 13])
-def test_rdma_full_sort_exact(n):
+@pytest.mark.parametrize("width,n", [(8, 1111), (8, 1 << 13), (16, 1 << 13)])
+def test_rdma_full_sort_exact(width, n):
     """Full LSD sort through exchange='rdma' (first-class option): exact
-    vs the CPU oracle, including the padded non-divisible size."""
+    vs the CPU oracle, including the padded non-divisible size and the
+    width-16 (65536-bin) metadata path."""
     keys = Pcg32().fill(n)
     out = distributed.sort_distributed(
-        keys, mesh=_mesh(), width=8, exchange="rdma", strategy="xla"
+        keys, mesh=_mesh(), width=width, exchange="rdma", strategy="xla"
     )
     np.testing.assert_array_equal(out, np.sort(keys))
 
