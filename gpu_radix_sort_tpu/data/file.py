@@ -24,6 +24,7 @@ import json
 import os
 import shutil
 import threading
+import weakref
 
 from .interface import (
     ArrayFactory,
@@ -36,6 +37,17 @@ from .interface import (
 
 DATA_FILE = "data.dat"
 META_FILE = "meta.json"
+
+
+def _close_box(box: list) -> None:
+    """weakref.finalize target: close a boxed file handle, ignoring errors
+    (interpreter shutdown may have torn down IO already)."""
+    handle, box[0] = box[0], None
+    if handle is not None:
+        try:
+            handle.close()
+        except Exception:
+            pass
 
 
 def _meta_dump(shape: DistribArrayShape) -> str:
@@ -84,7 +96,20 @@ class FileDistribArray(DistribArray):
         self._starts = shape.starts()
         self._lock = threading.Lock()
         self._dirty = False
-        self._wf = None  # persistent append handle (lazy; see _append)
+        # Persistent append handle (lazy; see _append), held in a one-slot
+        # box so a weakref finalizer can close it if the array is dropped
+        # without close()/destroy() (e.g. a worker raising mid-round) —
+        # otherwise the fd lives until GC.
+        self._wf_box: list = [None]
+        self._finalizer = weakref.finalize(self, _close_box, self._wf_box)
+
+    @property
+    def _wf(self):
+        return self._wf_box[0]
+
+    @_wf.setter
+    def _wf(self, handle) -> None:
+        self._wf_box[0] = handle
 
     # -- construction -------------------------------------------------------
 
@@ -150,19 +175,28 @@ class FileDistribArray(DistribArray):
                 self._wf = open(self._data_path(), "r+b")
             self._wf.seek(self._starts[idx] + ln)
             self._wf.write(data)
-            self._wf.flush()  # readers re-open the path; keep bytes visible
+            # No flush here: readers re-open the path, so buffered bytes
+            # are flushed lazily when a reader is constructed (and at
+            # close()).  A width-16 round makes up to 2^16 appends; one
+            # flush syscall per append halved the persistent-handle win.
             self._shape_lens[idx] = ln + len(data)
             self._dirty = True
             return len(data)
 
+    def _flush_writes_locked(self) -> None:
+        if self._wf is not None:
+            self._wf.flush()
+
     def get_part_reader(self, part_idx: int) -> PartReader:
         with self._lock:
+            self._flush_writes_locked()
             ln = self._shape_lens[part_idx]
             start = self._starts[part_idx]
         return _FilePartReader(self._data_path(), start, ln)
 
     def get_part_range_reader(self, part_idx, start, end) -> PartReader:
         with self._lock:
+            self._flush_writes_locked()
             ln = self._shape_lens[part_idx]
             base = self._starts[part_idx]
         if end <= 0:

@@ -125,27 +125,31 @@ class MemArrayFactory(ArrayFactory):
     """Factory over a (shared or private) name registry
     (reference: MemArrayFactory, mem.go:84-114)."""
 
-    # One lock PER REGISTRY OBJECT (keyed by id), not per factory: two
-    # factories sharing one plain-dict registry must synchronize on the
-    # same lock or concurrent create() of the same name can silently
-    # overwrite instead of raising FileExistsError.
-    _registry_locks: dict[int, threading.Lock] = {}
-    _locks_guard = threading.Lock()
+    # One lock PER REGISTRY OBJECT, not per factory: two factories sharing
+    # one plain-dict registry must synchronize on the same lock or
+    # concurrent create() of the same name can silently overwrite instead
+    # of raising FileExistsError.  The lock lives INSIDE the registry dict
+    # under a reserved key (dict.setdefault is atomic in CPython), so its
+    # lifetime is exactly the registry's — no class-level id-keyed table
+    # that leaks entries and can alias a new dict onto a dead one's lock
+    # after id reuse.
+    _LOCK_KEY = "\x00__registry_lock__"
 
     def __init__(self, registry: dict | None = None):
         if registry is None:
             # private registry: nobody else can hold this dict, so a
-            # per-factory lock suffices (and the shared table stays small)
+            # per-factory lock suffices
             self._registry = {}
             self._lock = threading.Lock()
             return
         self._registry = registry
-        with MemArrayFactory._locks_guard:
-            self._lock = MemArrayFactory._registry_locks.setdefault(
-                id(registry), threading.Lock()
-            )
+        self._lock = registry.setdefault(
+            MemArrayFactory._LOCK_KEY, threading.Lock()
+        )
 
     def create(self, name: str, shape: DistribArrayShape) -> DistribArray:
+        if name == MemArrayFactory._LOCK_KEY:
+            raise ValueError("reserved registry key")
         arr = MemDistribArray(name, shape)
         with self._lock:
             if name in self._registry:
@@ -161,6 +165,8 @@ class MemArrayFactory(ArrayFactory):
         return arr
 
     def open(self, name: str) -> DistribArray:
+        if name == MemArrayFactory._LOCK_KEY:
+            raise FileNotFoundError(f"no memory array named {name!r}")
         with self._lock:
             try:
                 return self._registry[name]

@@ -116,8 +116,11 @@ class DistributedSortPipeline:
         if self.algorithm == "sample":
             # PSRS takes no digit width / exchange / kernel strategy —
             # surface explicit non-default settings instead of silently
-            # measuring a different configuration.
-            if self.strategy is not None or self.exchange != "alltoall":
+            # measuring a different configuration.  Both "alltoall" (this
+            # class's default) and "auto" (sort_distributed's default) are
+            # treated as unset so drivers sweeping algorithms with a common
+            # exchange="auto" keep working.
+            if self.strategy is not None or self.exchange not in ("alltoall", "auto"):
                 raise ValueError(
                     "algorithm='sample' ignores strategy/exchange; leave "
                     "them at defaults or use algorithm='lsd'"

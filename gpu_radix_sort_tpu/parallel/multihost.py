@@ -57,15 +57,21 @@ def initialize_distributed(
     process_id = process_id if process_id is not None else _int_env("JAX_PROCESS_ID")
     if not coordinator and num_processes is None:
         return jax.process_count() > 1  # single-process / autodetected run
-    from jax._src.distributed import global_state
-
-    already = global_state.client is not None
+    # Public probe where available (jax >= 0.4.34); otherwise initialize and
+    # treat "already initialized" RuntimeError as success — no private
+    # jax._src symbols (they move between releases).
+    probe = getattr(jax.distributed, "is_initialized", None)
+    already = bool(probe()) if callable(probe) else False
     if not already:
-        jax.distributed.initialize(
-            coordinator_address=coordinator,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        except RuntimeError as e:
+            if "already initialized" not in str(e).lower():
+                raise
     return jax.process_count() > 1
 
 

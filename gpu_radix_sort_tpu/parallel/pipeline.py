@@ -213,12 +213,46 @@ def build_hash_aggregate(
     return jax.jit(fn), capacity
 
 
-@functools.lru_cache(maxsize=64)
+def _predicate_cache_key(predicate):
+    """Value-based cache key for a predicate: code object + closure cell
+    values (+ defaults).  Two textually identical lambdas built on separate
+    calls share a key, so callers passing a fresh ``lambda k: ...`` per call
+    hit the cache instead of silently repaying a 30-300s tunneled compile.
+    Falls back to object identity when closure values are unhashable."""
+    if predicate is None:
+        return None
+    code = getattr(predicate, "__code__", None)
+    if code is None:  # callables without __code__ (partials, objects)
+        return predicate
+    cells = getattr(predicate, "__closure__", None) or ()
+    defaults = getattr(predicate, "__defaults__", None) or ()
+    # unhashable closure values surface as TypeError at dict lookup, where
+    # the caller falls back to rebuilding (no cache)
+    return (code, tuple(c.cell_contents for c in cells), defaults)
+
+
+_hash_aggregate_cache: dict = {}
+
+
 def _cached_hash_aggregate(mesh, n_local, op, predicate, capacity_factor):
-    return build_hash_aggregate(
+    key = (
+        mesh, n_local, op, _predicate_cache_key(predicate), capacity_factor
+    )
+    try:
+        return _hash_aggregate_cache[key]
+    except (KeyError, TypeError):
+        pass
+    built = build_hash_aggregate(
         mesh, n_local, op=op, predicate=predicate,
         capacity_factor=capacity_factor,
     )
+    try:
+        _hash_aggregate_cache[key] = built
+        if len(_hash_aggregate_cache) > 64:
+            _hash_aggregate_cache.pop(next(iter(_hash_aggregate_cache)))
+    except TypeError:  # unhashable key component: skip caching
+        pass
+    return built
 
 
 def hash_aggregate_distributed(

@@ -113,3 +113,22 @@ def test_distributed_width_32_rejected():
     mesh = key_mesh(jax.devices("cpu"))
     with pytest.raises(ValueError):
         build_distributed_sort(mesh, 1024, width=32)
+
+
+def test_sample_pipeline_accepts_auto_exchange():
+    """exchange='auto' is sort_distributed's documented default; sweeping
+    algorithms with a common exchange='auto' must not raise (ADVICE r2)."""
+    from gpu_radix_sort_tpu.models.pipelines import DistributedSortPipeline
+
+    fn, (example,) = DistributedSortPipeline(
+        n_local=1 << 10, algorithm="sample", exchange="auto"
+    ).build()
+    shards, counts, overflow = fn(example)
+    assert int(overflow) == 0
+    import jax
+
+    nchips = len(jax.devices())
+    shards = np.asarray(shards).reshape(nchips, -1)
+    counts = np.asarray(counts).reshape(-1)
+    out = np.concatenate([shards[i, : counts[i]] for i in range(nchips)])
+    np.testing.assert_array_equal(out, np.sort(np.asarray(example)))
