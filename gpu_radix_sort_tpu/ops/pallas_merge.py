@@ -6,33 +6,62 @@ scan + scatter, libsort/sort.cu + scan.cu) with the movement pattern TPUs
 are actually good at (docs/PERF_NOTES.md): **sequential streams**, not
 fine-grained scatter.
 
-    stage 1   VMEM bitonic tile sort (grid over TILE-key tiles)
-    level k   pairwise merge of sorted runs, one Pallas program per output
-              block: two dynamic-offset DMA window loads -> align + mask by
-              run bounds -> one VMEM bitonic *merge* (log2 stages, not
-              log^2) -> emit the block
+    stage 1   VMEM bitonic tile sort (grid over TILE-key tiles), runs
+              emitted in ALTERNATING direction (even tiles ascending, odd
+              descending via key complement)
+    level k   pairwise merge of sorted runs.  Because runs alternate
+              direction, each in-memory pair [ascending; descending] is
+              already bitonic — both DMA windows read straight from the
+              level input with NO reversed-copy materialization.  One
+              Pallas program per output block: two dynamic-offset window
+              loads -> align + mask by run bounds -> ONE elementwise
+              minimum (the first bitonic-merge stage, lower half only)
+              -> log2(b_out) compare-exchange stages on just b_out keys.
+
+Two structural optimizations over the round-1/2 design (VERDICT r2 item 1):
+
+* **Truncated merge network.** Each output block keeps only the b_out
+  smallest keys of its two windows, so after the first compare-exchange
+  stage (stride b_out — reduced to a pointwise ``minimum``) the upper half
+  is dead.  The remaining log2(b_out) stages run on half the buffer:
+  1 + 16 b-stages instead of 17 2b-stages (~47% less VPU work per level).
+* **Alternating-direction runs.** Output run p of a level is written
+  ascending when p is even, descending when p is odd, so the NEXT level's
+  pairs are bitonic in place and the per-level ``jnp.flip`` mirror copy
+  (a full extra HBM read+write of the array every level) is gone.
+  Direction is implemented as bitwise complement (~x sorts in exactly
+  reversed key order for uint32), so a single ascending network serves
+  both directions: descending blocks complement their windows on load and
+  their output on store (2 VPU ops/elem, vs ~100 for the network).
 
 Merge-path splits (which slice of each run feeds each output block) are
 computed OUTSIDE the kernel by a vectorized binary search in XLA — they are
 tiny (n / b_out scalars per level).  Every HBM access in the kernel is a
 ≥128KB sequential window read or a block-aligned write, so levels run near
-streaming bandwidth; the VPU cost per level is log2(2*b_out) ≈ 16
-compare-exchange stages instead of a full sort's log^2.
+streaming bandwidth.
 
 Window alignment: DMA offsets are row (128-element) granular, but merge
 splits are element-granular.  Each window is loaded with one row of slack,
-rotated in-register so the valid run starts at flat position 0 (dynamic
-rotation decomposed into 7 conditional static rolls — Mosaic supports
-static shifts only), PAD-masked past the valid count, then truncated to
-exactly b_out elements, giving a tight 2*b_out bitonic buffer.
+rotated in-register so the valid run starts (win1) or ends (win2) at the
+right flat position (dynamic rotation decomposed into 7 conditional static
+rolls — Mosaic supports static shifts only), PAD-masked outside the valid
+count, then truncated to exactly b_out elements.
+
+Arrays carry ``pad_rows`` of UNWRITTEN trailing rows so windows of blocks
+near the array end never fault; every kernel masks by valid counts, so the
+tail's contents are irrelevant.
 
 Keys-only and EXACT, duplicates included: each output block materializes
-the smallest b_out of the multiset union of its two bounded windows, and
-the per-block splits partition each pair's multiset by rank, so the value
-multiset per block is independent of how ties are ranked.
+the b_out smallest (largest, for descending blocks) of the multiset union
+of its two bounded windows, and the per-block splits partition each pair's
+multiset by rank, so the value multiset per block is independent of how
+ties are ranked.
 
 Sizes: n is padded to a power of two with 0xFFFFFFFF (sliced off after),
 minimum 2 tiles.  Each level is its own pallas_call specialization.
+
+Reference analog: the hot loop this replaces is the reference's 2-bit
+radix pass pipeline, libsort/sort.cu:322-346.
 """
 
 from __future__ import annotations
@@ -64,37 +93,67 @@ def _w_rows(b_out: int) -> int:
     return rows + (-rows) % 8
 
 
+def _pad_rows(b_out: int) -> int:
+    """Unwritten tail rows appended to every level array so a window
+    starting at the last valid element never reads past the allocation;
+    a multiple of the output block row count so pallas grids tile evenly."""
+    b_rows = b_out // LANES
+    return -(-_w_rows(b_out) // b_rows) * b_rows
+
+
 # ---------------------------------------------------------------------------
-# Stage 1: gridified tile sort
+# Stage 1: gridified tile sort (alternating run directions)
 # ---------------------------------------------------------------------------
 
-def _tile_sort_kernel(x_ref, o_ref, *, tile: int, interpret: bool):
-    (out,) = _bitonic_body(tile, (x_ref[...],), interpret)
+def _tile_sort_kernel(x_ref, o_ref, *, tile: int, alternate: bool,
+                      interpret: bool):
+    x = x_ref[...]
+    if alternate:
+        # odd tiles sort DESCENDING: complement in, complement out (~x
+        # reverses uint32 key order exactly)
+        inv = (pl.program_id(0) & 1) != 0
+        x = jnp.where(inv, ~x, x)
+    (out,) = _bitonic_body(tile, (x,), interpret)
+    if alternate:
+        out = jnp.where(inv, ~out, out)
     o_ref[...] = out
 
 
 @functools.lru_cache(maxsize=None)
-def _tile_sort_call(ntiles: int, tile: int, interpret: bool):
+def _tile_sort_call(ntiles: int, tile: int, alternate: bool, tail_rows: int,
+                    interpret: bool):
     rows = tile // LANES
     kernel = functools.partial(
-        _tile_sort_kernel, tile=tile, interpret=interpret
+        _tile_sort_kernel, tile=tile, alternate=alternate, interpret=interpret
     )
     return pl.pallas_call(
         kernel,
         grid=(ntiles,),
         in_specs=[pl.BlockSpec((rows, LANES), lambda t: (t, 0))],
         out_specs=pl.BlockSpec((rows, LANES), lambda t: (t, 0)),
-        out_shape=jax.ShapeDtypeStruct((ntiles * rows, LANES), KEY_DTYPE),
+        out_shape=jax.ShapeDtypeStruct(
+            (ntiles * rows + tail_rows, LANES), KEY_DTYPE
+        ),
         interpret=interpret,
     )
 
 
-def sort_tiles(x2d: jnp.ndarray, tile: int = TILE) -> jnp.ndarray:
-    """Sort each consecutive ``tile``-key run of a (rows, 128) array."""
+def sort_tiles(
+    x2d: jnp.ndarray, tile: int = TILE, *, alternate: bool = False,
+    tail_rows: int = 0,
+) -> jnp.ndarray:
+    """Sort each consecutive ``tile``-key run of a (rows, 128) array.
+    ``alternate``: odd tiles descending (merge-level input convention).
+    ``tail_rows``: extra UNINITIALIZED rows appended to the output (DMA
+    window headroom for the merge levels)."""
     n = x2d.shape[0] * LANES
     if n % tile:
         raise ValueError(f"n={n} not a multiple of tile={tile}")
-    return _tile_sort_call(n // tile, tile, _interpret())(x2d)
+    if tail_rows % (tile // LANES):
+        raise ValueError("tail_rows must be a multiple of the tile rows")
+    return _tile_sort_call(
+        n // tile, tile, alternate, tail_rows, _interpret()
+    )(x2d)
 
 
 # ---------------------------------------------------------------------------
@@ -102,18 +161,34 @@ def sort_tiles(x2d: jnp.ndarray, tile: int = TILE) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _merge_splits(x2d: jnp.ndarray, L: int, n: int, b_out: int):
-    """For each output block (rank r = g*b_out within its pair of L-runs),
-    the largest a in [max(0, r-L), min(L, r)] with A[a-1] <= B[r-a]
-    (A-first on ties) — a feasible multiset split.  Returns per-block
-    int32 scalars: aligned window row starts + absolute valid ranges."""
+    """Per-output-block DMA plans for one alternating-direction merge level.
+
+    Pair p merges run 2p (ascending, x[β:β+L], β = 2Lp) with run 2p+1
+    (descending, x[β+L:β+2L]); its output run is ascending when p is even,
+    descending when p is odd.  A descending block is computed as an
+    ASCENDING block over complemented keys (~x), which swaps the two runs'
+    roles: the descending run becomes the ascending-source window (win1,
+    prefix-taken) and vice versa.  Per block the binary search finds the
+    largest win1 take ``a`` such that splitting rank r = (block index
+    within the run) * b_out between win1-prefix and win2-suffix is a
+    feasible multiset partition.
+
+    Returns int32 per-block vectors:
+      w1_row — aligned window start row of win1 (ascending source)
+      s1, e1 — absolute element range available to win1
+      e2, s2 — win2 (descending source) valid range END and region start
+      d      — 1 for descending (complemented) blocks
+    """
     x = x2d.reshape(-1)
     nblocks = n // b_out
-    g = jnp.arange(nblocks, dtype=jnp.int32)
     two_l = 2 * L
-    pair = (g * b_out) // two_l
-    r = g * b_out - pair * two_l
-    a_base = pair * two_l
-    b_base = a_base + L
+    bpp = two_l // b_out  # blocks per pair
+    g = jnp.arange(nblocks, dtype=jnp.int32)
+    pair = g // bpp
+    d = (pair & 1) == 1
+    base = pair * two_l
+    r = (g % bpp) * b_out  # rank from bottom (asc) / from top (desc)
+    off1 = jnp.where(d, L, 0)  # win1 = B region when descending
 
     lo = jnp.maximum(0, r - L)
     hi = jnp.minimum(L, r)
@@ -122,46 +197,35 @@ def _merge_splits(x2d: jnp.ndarray, L: int, n: int, b_out: int):
         # one packed gather per iteration (gather ops have fixed dispatch
         # cost; 28 sequential iterations x 2 gathers was a measurable
         # fraction of level time)
+        i1 = base + off1 + mid - 1
+        i2 = base + jnp.where(d, L - 1, two_l - 1) - (r - mid)
         probes = x[
-            jnp.stack(
-                [
-                    jnp.clip(a_base + mid - 1, 0, n - 1),
-                    jnp.clip(b_base + r - mid, 0, n - 1),
-                ]
-            )
+            jnp.stack([jnp.clip(i1, 0, n - 1), jnp.clip(i2, 0, n - 1)])
         ]
-        a_prev, b_at = probes[0], probes[1]
-        b_in_range = (r - mid) < L  # past B's end acts as +inf
-        ok = (mid == 0) | ~b_in_range | (a_prev <= b_at)
+        p1, p2 = probes[0], probes[1]
+        in_range = (r - mid) < L  # past win2's end acts as +inf
+        # asc: A[mid-1] <= B'[r-mid]; desc (complemented):
+        # ~B[mid-1] <= ~A'[r-mid]  <=>  A'[r-mid] <= B[mid-1]
+        cond = jnp.where(d, p2 <= p1, p1 <= p2)
+        ok = (mid == 0) | ~in_range | cond
         lo = jnp.where(ok, mid, lo)
         hi = jnp.where(ok, hi, mid - 1)
     a = lo
-    b = r - a
 
-    a_lo = a_base + a
-    # B's window is read from the REVERSED array xr (xr[i] = x[n-1-i]), so
-    # its content is descending and no in-kernel reversal is needed.  The
-    # taken range [b_base+b, b_base+L) of x maps to xr positions
-    # [n - b_base - L, n - b_base - b), i.e. an xr-window ENDING at
-    # n - b_base - b; the kernel loads [rb_lo, rb_lo + W) with
-    # rb_lo = n - b_base - b - (W - slack) and rotates by the end slack.
-    # xr is padded with w_rows of PAD at the FRONT (merge_level), so xr
-    # coordinates here carry a +w_elems offset; this keeps every window's
-    # start row >= 0 even for the first xr region (the last pair's B run).
-    off = _w_rows(b_out) * LANES
-    rb_hi = off + n - (b_base + b)  # exclusive end in padded-xr coords
-    rb_lo = off + n - (b_base + L)  # start of B's region
-
-    def row(abs_pos):
-        return (abs_pos // LANES).astype(jnp.int32)
-
+    s1 = base + off1 + a
+    e1 = base + off1 + L
+    # win2: descending source read in natural order; the block's share is
+    # the (r - a) already-consumed smallest... i.e. its window ENDS at the
+    # element ranked (r - a) from the small end of the descending run.
+    e2 = base + jnp.where(d, L, two_l) - (r - a)
+    s2 = base + jnp.where(d, 0, L)
     return (
-        row(a_lo),
-        a_lo.astype(jnp.int32),
-        (a_base + L).astype(jnp.int32),
-        row(rb_lo),
-        rb_lo.astype(jnp.int32),
-        rb_hi.astype(jnp.int32),
+        (s1 // LANES).astype(jnp.int32),
+        s1.astype(jnp.int32),
+        e1.astype(jnp.int32),
+        e2.astype(jnp.int32),
+        s2.astype(jnp.int32),
+        d.astype(jnp.int32),
     )
 
 
@@ -220,63 +284,73 @@ def _align_window_end(win, end_slack, valid, interpret: bool):
 
 
 def _merge_kernel(
-    a_row, a_lo, a_hi, rb_row, rb_lo, rb_hi,  # scalar prefetch (nblocks,)
-    x_hbm, xr_hbm, o_ref, sa, sb, sems, *, b_out: int, interpret: bool,
+    w1_row, s1, e1, e2, s2, dflag,  # scalar prefetch (nblocks,)
+    x_hbm, o_ref, sa, sb, sems, *, b_out: int, interpret: bool,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
     b_rows = b_out // LANES
     w_rows = _w_rows(b_out)
+    w_elems = w_rows * LANES
     g = pl.program_id(0)
-    # B is loaded from the reversed array so its window is descending: the
-    # window must END at rb_hi (xr coords); load W rows ending at or after
-    # rb_hi, clamped to B's region start.
-    rb_start = jnp.maximum((rb_hi[g] + LANES - 1) // LANES - w_rows, 0)
+    # win2 is a descending run read in natural order: the window must END
+    # at e2; load w_rows ending at or after e2 (clamp >= 0 is structural:
+    # every win2 region starts at or beyond run length L >= w_elems).
+    rb_start = jnp.maximum((e2[g] + LANES - 1) // LANES - w_rows, 0)
     ca = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(a_row[g], w_rows), :], sa, sems.at[0]
+        x_hbm.at[pl.ds(w1_row[g], w_rows), :], sa, sems.at[0]
     )
     cb = pltpu.make_async_copy(
-        xr_hbm.at[pl.ds(rb_start, w_rows), :], sb, sems.at[1]
+        x_hbm.at[pl.ds(rb_start, w_rows), :], sb, sems.at[1]
     )
     ca.start()
     cb.start()
     ca.wait()
     cb.wait()
 
-    # A: rotate the valid ascending run to flat position 0, PAD-mask the
-    # tail, truncate to b_out (at most b_out A-elements reach this block).
-    w_elems = w_rows * LANES
-    slack_a = a_lo[g] - a_row[g] * LANES
+    # Descending output blocks run the SAME ascending network on
+    # complemented keys (load-complement + store-complement).
+    inv = dflag[g] != 0
+    wa = jnp.where(inv, ~sa[...], sa[...])
+    wb = jnp.where(inv, ~sb[...], sb[...])
+
+    # win1: rotate the valid ascending run to flat position 0, PAD-mask the
+    # tail, truncate to b_out (at most b_out win1-elements reach this block).
+    slack_a = s1[g] - w1_row[g] * LANES
     va = _align_window(
-        sa[...], slack_a,
-        jnp.minimum(a_hi[g] - a_lo[g], w_elems - slack_a), interpret,
+        wa, slack_a,
+        jnp.minimum(e1[g] - s1[g], w_elems - slack_a), interpret,
     )[:b_rows]
 
-    # B: descending window; rotate so the valid run ENDS at the flat end,
-    # then MAX-mask the front (excluded larger elements) and keep the last
-    # b_out elements.  end slack = distance from rb_hi to the window end.
-    end_slack = rb_start * LANES + w_elems - rb_hi[g]  # in [0, 128)+rows
-    # rotate RIGHT by end_slack == rotate LEFT by (w_elems - end_slack).
-    valid_b = jnp.minimum(rb_hi[g] - rb_lo[g], w_elems - end_slack)
-    vb_full = _align_window_end(sb[...], end_slack, valid_b, interpret)
-    vb = vb_full[w_rows - b_rows:]
+    # win2: descending window; rotate so the valid run ENDS at the flat
+    # end, then MAX-mask the front (excluded larger elements) and keep the
+    # last b_out elements.
+    end_slack = rb_start * LANES + w_elems - e2[g]
+    valid_b = jnp.minimum(e2[g] - s2[g], w_elems - end_slack)
+    vb = _align_window_end(wb, end_slack, valid_b, interpret)[
+        w_rows - b_rows:
+    ]
 
-    # Bitonic buffer: ascending(A, PAD tail) ++ descending(B, MAX front).
-    buf = jnp.concatenate([va, vb], axis=0)
-
-    buf_elems = 2 * b_out
-    r2 = jax.lax.broadcasted_iota(jnp.int32, (2 * b_rows, LANES), 0)
-    c2 = jax.lax.broadcasted_iota(jnp.int32, (2 * b_rows, LANES), 1)
-    idx = r2 * LANES + c2
-    log_buf = buf_elems.bit_length() - 1
-    vals = (buf,)
-    for j_log in range(log_buf - 1, -1, -1):
+    # Bitonic merge, TRUNCATED to the surviving half: [va; vb] is bitonic
+    # (ascending then descending, PAD = +inf in the masked slots), so the
+    # first compare-exchange stage (stride b_out) is elementwise min and
+    # its lower half — a bitonic sequence holding the b_out smallest keys —
+    # is all that survives.  Only log2(b_out) half-width stages remain.
+    # compare+select, NOT jnp.minimum: Mosaic does not legalize unsigned
+    # vector min (arith.minui) — caught by the on-chip suite.
+    low = jnp.where(va <= vb, va, vb)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (b_rows, LANES), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (b_rows, LANES), 1)
+    idx = rr * LANES + cc
+    log_buf = (2 * b_out).bit_length() - 1  # direction bit: always ascend
+    vals = (low,)
+    for j_log in range(b_out.bit_length() - 2, -1, -1):
         vals = _compare_exchange(vals, idx, 1 << j_log, log_buf, interpret)
-    o_ref[...] = vals[0][:b_rows]
+    o_ref[...] = jnp.where(inv, ~vals[0], vals[0])
 
 
 @functools.lru_cache(maxsize=None)
-def _merge_call(nblocks: int, b_out: int, interpret: bool):
+def _merge_call(nblocks: int, b_out: int, in_rows: int, interpret: bool):
     from jax.experimental.pallas import tpu as pltpu
 
     b_rows = b_out // LANES
@@ -287,10 +361,7 @@ def _merge_call(nblocks: int, b_out: int, interpret: bool):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=6,
             grid=(nblocks,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((b_rows, LANES), lambda g, *_: (g, 0)),
             scratch_shapes=[
                 pltpu.VMEM((w_rows, LANES), KEY_DTYPE),
@@ -298,29 +369,38 @@ def _merge_call(nblocks: int, b_out: int, interpret: bool):
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((nblocks * b_rows, LANES), KEY_DTYPE),
+        out_shape=jax.ShapeDtypeStruct(
+            (nblocks * b_rows + _pad_rows(b_out), LANES), KEY_DTYPE
+        ),
         interpret=interpret,
     )
 
 
-def merge_level(x2d: jnp.ndarray, L: int, b_out: int = B_OUT) -> jnp.ndarray:
-    """One pairwise merge level: (rows, 128) holding sorted runs of length
-    L -> sorted runs of length 2L."""
-    n = x2d.shape[0] * LANES
+def merge_level(
+    x2d: jnp.ndarray, L: int, b_out: int = B_OUT, *, n: int | None = None
+) -> jnp.ndarray:
+    """One pairwise merge level over ALTERNATING-direction sorted runs of
+    length L (run i ascending iff i is even) -> alternating runs of length
+    2L.  ``x2d`` may carry >= _pad_rows(b_out) trailing headroom rows
+    beyond ``n`` elements (default n: all rows minus the headroom the
+    previous level appended); the output carries the same headroom,
+    uninitialized."""
+    if n is None:
+        n = (x2d.shape[0] - _pad_rows(b_out)) * LANES
     w_elems = _w_rows(b_out) * LANES
-    # L >= w_elems guarantees A windows never cross the array end and B
-    # windows stay inside padded xr — no per-level padding copy of x.
+    # L >= w_elems guarantees win2 windows never start before row 0; the
+    # tail headroom covers win1 windows running past n.
     if L % b_out or n % (2 * L) or L < w_elems:
         raise ValueError(f"invalid level: n={n} L={L} b_out={b_out}")
+    if x2d.shape[0] < n // LANES + _pad_rows(b_out):
+        raise ValueError(
+            f"input must carry {_pad_rows(b_out)} headroom rows beyond "
+            f"n={n} elements; got {x2d.shape[0]} rows"
+        )
     splits = _merge_splits(x2d, L, n, b_out)
-    # Element-reversed copy: B windows read from here are descending, so
-    # the kernel needs no reversal network (lax.rev is fine in XLA, just
-    # not inside Mosaic).  Also guarantees B windows never cross row 0.
-    w_rows = _w_rows(b_out)
-    xr = jnp.concatenate(
-        [jnp.full((w_rows, LANES), PAD, KEY_DTYPE), jnp.flip(x2d, (0, 1))]
+    return _merge_call(n // b_out, b_out, x2d.shape[0], _interpret())(
+        *splits, x2d
     )
-    return _merge_call(n // b_out, b_out, _interpret())(*splits, x2d, xr)
 
 
 # ---------------------------------------------------------------------------
@@ -340,8 +420,9 @@ def supported_auto(n: int) -> bool:
 def sort_full_large(
     keys: jnp.ndarray, *, tile: int = TILE, b_out: int = B_OUT
 ) -> jnp.ndarray:
-    """HBM-scale ascending sort: pad to pow2, tile-sort, merge levels.
-    Requires tile >= b_out + 8*128 (window-containment invariant)."""
+    """HBM-scale ascending sort: pad to pow2, tile-sort (alternating
+    directions), merge levels.  Requires tile >= window size
+    (window-containment invariant)."""
     if tile < _w_rows(b_out) * LANES:
         raise ValueError(f"tile {tile} must be >= {_w_rows(b_out) * LANES}")
     n = keys.shape[0]
@@ -349,9 +430,12 @@ def sort_full_large(
     padded = jnp.concatenate(
         [keys.astype(KEY_DTYPE), jnp.full((n_pad - n,), PAD, KEY_DTYPE)]
     )
-    x = sort_tiles(padded.reshape(-1, LANES), tile)
+    tail = -(-_pad_rows(b_out) // (tile // LANES)) * (tile // LANES)
+    x = sort_tiles(
+        padded.reshape(-1, LANES), tile, alternate=True, tail_rows=tail
+    )
     L = tile
     while L < n_pad:
-        x = merge_level(x, L, b_out)
+        x = merge_level(x, L, b_out, n=n_pad)
         L *= 2
-    return x.reshape(-1)[:n]
+    return x.reshape(-1)[:n_pad][:n]

@@ -29,13 +29,27 @@ def test_sort_tiles_each_run_sorted():
         )
 
 
+def _alt_tiles(keys, tile=TILE, b_out=B_OUT):
+    """Merge-level input convention: alternating-direction sorted runs
+    plus the uninitialized headroom tail merge_level requires."""
+    x = np.sort(np.asarray(keys, np.uint32).reshape(-1, tile), axis=1)
+    x[1::2] = x[1::2, ::-1]
+    pad = pm._pad_rows(b_out) * 128
+    flat = np.concatenate([x.reshape(-1), np.zeros(pad, np.uint32)])
+    return jnp.asarray(flat.reshape(-1, 128))
+
+
 def test_merge_level_pairs():
     keys = Pcg32().fill(8 * TILE)  # 8 runs -> 4 merged pairs
-    x = _sorted_tiles(keys)
-    out = np.asarray(pm.merge_level(x, TILE, B_OUT)).reshape(-1)
-    for p in range(4):
+    n = keys.size
+    x = _alt_tiles(keys)
+    out = np.asarray(pm.merge_level(x, TILE, B_OUT, n=n)).reshape(-1)[:n]
+    for p in range(4):  # output run p ascending iff p even
         lo, hi = p * 2 * TILE, (p + 1) * 2 * TILE
-        np.testing.assert_array_equal(out[lo:hi], np.sort(keys[lo:hi]))
+        want = np.sort(keys[lo:hi])
+        np.testing.assert_array_equal(
+            out[lo:hi], want if p % 2 == 0 else want[::-1]
+        )
 
 
 def test_merge_level_validates():
@@ -79,31 +93,35 @@ def test_sort_full_large_adversarial(maker):
 
 
 def test_merge_splits_are_feasible():
-    """Every split satisfies the multiset partition property."""
-    keys = Pcg32().fill(4 * TILE)
-    x = _sorted_tiles(keys)
+    """Every split satisfies the multiset partition property: the block at
+    rank r consumes the r smallest keys (in network order) of its pair —
+    ``a`` from win1's ascending front, ``r - a`` from win2's descending
+    tail.  Descending-output blocks are checked in the complement domain
+    (the kernel runs the same ascending network on ~keys)."""
+    keys = Pcg32().fill(4 * TILE)  # 2 pairs: one asc-output, one desc-output
+    n = keys.size
+    x = _alt_tiles(keys)
     xs = np.asarray(x).reshape(-1)
-    n = 4 * TILE
-    off = pm._w_rows(B_OUT) * 128
-    a_row, a_lo, a_hi, rb_row, rb_lo, rb_hi = (
+    w1_row, s1, e1, e2, s2, d = (
         np.asarray(s) for s in pm._merge_splits(x, TILE, n, B_OUT)
     )
     two_l = 2 * TILE
-    for g in range(len(a_lo)):
+    for g in range(n // B_OUT):
         pair = (g * B_OUT) // two_l
         r = g * B_OUT - pair * two_l
-        a = a_lo[g] - pair * two_l
-        # rb_hi is in padded-xr coords: rb_hi = off + n - (b_base + b)
-        b = off + n - (pair * two_l + TILE) - rb_hi[g]
-        assert a + b == r
+        base = pair * two_l
+        off1 = TILE if d[g] else 0
+        a = s1[g] - (base + off1)
+        b = r - a
         assert 0 <= a <= TILE and 0 <= b <= TILE
-        taken = np.concatenate(
-            [xs[pair * two_l : pair * two_l + a],
-             xs[pair * two_l + TILE : pair * two_l + TILE + b]]
-        )
-        rest = np.concatenate(
-            [xs[pair * two_l + a : pair * two_l + TILE],
-             xs[pair * two_l + TILE + b : (pair + 1) * two_l]]
-        )
+        assert e1[g] == base + off1 + TILE
+        assert s2[g] == base + (0 if d[g] else TILE)
+        assert e2[g] - s2[g] == TILE - b
+        w1 = xs[base + off1 : base + off1 + TILE]
+        w2 = xs[s2[g] : s2[g] + TILE]
+        if d[g]:  # complement domain: win1 ascending, win2 descending
+            w1, w2 = ~w1, ~w2
+        taken = np.concatenate([w1[:a], w2[TILE - b :]])
+        rest = np.concatenate([w1[a:], w2[: TILE - b]])
         if taken.size and rest.size:
             assert taken.max() <= rest.min()
