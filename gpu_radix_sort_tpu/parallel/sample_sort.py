@@ -11,15 +11,31 @@ sampled splitters bounding partition skew (the BASELINE.json requirement).
 
 Phases (inside shard_map over mesh axis "x"):
   1. local full sort;
-  2. regular sampling: P local quantiles, all-gathered, re-sorted; global
-     quantiles of the P*P candidates become the P-1 splitters (classic PSRS
-     guarantee: no partition exceeds ~2 n/P for distinct keys);
-  3. splitter boundaries via searchsorted on the sorted shard -> P
-     contiguous slices; capacity-bounded all_to_all (overflow detected,
-     never silent — duplicates concentrated on one splitter can exceed any
-     fixed capacity, callers fall back to the exact gather exchange);
-  4. reassembly: sort of the received padded buffer (pads carry the max
-     key and are truncated by the valid count).
+  2. regular sampling on COMPOSITE keys: P local quantiles (key, local
+     rank, chip), all-gathered, lex-sorted; global quantiles of the P*P
+     candidates become the P-1 composite splitters.  Composites are always
+     DISTINCT, so the classic PSRS balance guarantee (no partition exceeds
+     ~2 n/P) holds for ANY key distribution — duplicates included;
+  3. composite splitter boundaries via two searchsorteds + closed-form tie
+     counts on the sorted shard -> P contiguous slices.  The self-destined
+     slice BYPASSES the collective (stays local, no capacity constraint —
+     sorted/self-destined inputs move zero bytes); the rest rides a
+     capacity-bounded all_to_all.  Overflow is detected, never silent; it
+     now requires adversarial cross-chip PLACEMENT (one chip holding >
+     capacity keys destined to one other chip), not mere duplicates;
+  4. reassembly: one sort over the received buffer plus the masked
+     self-destined slice (pads carry the max key and are truncated by the
+     valid count; the kv variant sorts by explicit (key, validity, source
+     chip, source rank) to keep global stability).
+
+Tie-break order differs by variant — keys-only splits ties by (rank,
+chip), round-robining each hot key's ties across ALL chips so per-pair
+traffic stays ~even/P for any duplicate mass (equal keys are
+interchangeable in a keys-only sort, so any tie partition is exact).
+The kv variant must reproduce the stable order (key, chip, rank), so ties
+split by (chip, rank); all-equal inputs become self-destined there
+(handled by the diagonal bypass), and only duplicate mass POURED ACROSS
+chips onto one destination can still overflow into the fallback.
 
 Output shards are ragged (counts returned per chip); the host wrapper
 linearizes exactly.
@@ -49,6 +65,66 @@ from ..ops.radix_sort import MAX_SORT_LANES  # single source of truth
 from .exchange import default_capacity as default_pair_capacity
 
 
+def _composite_splitters(s, *, axis, order: str):
+    """P-1 composite splitters from regular sampling of the sorted shard.
+
+    Each candidate is the triple (key, local sorted rank, chip) of an
+    actual element; ``order`` is the tie-break lex order within equal keys:
+    "rank_chip" (keys-only: round-robins each key's ties across chips) or
+    "chip_rank" (kv: the stable global order).  Composites are distinct, so
+    regular sampling's balance bound holds for any key distribution.
+    Returns (spl_key, spl_rank, spl_chip), each (P-1,).
+    """
+    P_ = lax.axis_size(axis)
+    n = s.shape[0]
+    stride = max(n // P_, 1)
+    pos = jnp.arange(P_, dtype=jnp.int32) * stride
+    all_samples = lax.all_gather(s[pos], axis)  # (P, P): [chip, m]
+    cand_k = all_samples.reshape(-1)
+    cand_r = jnp.tile(pos, P_)
+    cand_c = jnp.repeat(jnp.arange(P_, dtype=jnp.int32), P_)
+    if order == "rank_chip":
+        sk, sr, sc = lax.sort((cand_k, cand_r, cand_c), num_keys=3)
+    else:
+        sk, sc, sr = lax.sort((cand_k, cand_c, cand_r), num_keys=3)
+    idx = jnp.arange(1, P_, dtype=jnp.int32) * P_
+    return sk[idx], sr[idx], sc[idx]
+
+
+def _composite_bounds(s, spl_k, spl_r, spl_c, my, order: str):
+    """Per-splitter local boundary: the number of local elements whose
+    composite (key, rank=local index, chip=my) precedes the splitter.
+    Closed form over the tie run [lo, hi) — two searchsorteds, no
+    per-element composite materialization."""
+    lo = jnp.searchsorted(s, spl_k, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(s, spl_k, side="right").astype(jnp.int32)
+    if order == "rank_chip":
+        # (rank, chip) < (r_m, c_m): rank < r_m, plus rank == r_m with an
+        # earlier chip (local ranks of the tie run ARE the indices [lo, hi)).
+        tie = jnp.clip(spl_r - lo, 0, hi - lo) + (
+            (my < spl_c) & (spl_r >= lo) & (spl_r < hi)
+        ).astype(jnp.int32)
+    else:
+        # (chip, rank) < (c_m, r_m): earlier chips contribute their whole
+        # tie run, the splitter's own chip its rank prefix.
+        tie = jnp.where(
+            my < spl_c,
+            hi - lo,
+            jnp.where(my == spl_c, jnp.clip(spl_r - lo, 0, hi - lo), 0),
+        )
+    return lo + tie
+
+
+def _self_bypass(send_bounds, send_count, my, P_, capacity):
+    """Diagonal-bypass bookkeeping: the self-destined slice never rides the
+    collective, so it carries no capacity constraint.  Returns
+    (offdiag_count, overflowed, self_lo, self_hi)."""
+    peer = jnp.arange(P_, dtype=jnp.int32)
+    offdiag = jnp.where(peer == my, 0, send_count)
+    overflowed = jnp.any(offdiag > capacity)
+    return offdiag, overflowed, send_bounds[my], send_bounds[my + 1]
+
+
 def _sample_sort_shard(local_keys, *, axis, capacity):
     P_ = lax.axis_size(axis)
     my = lax.axis_index(axis)
@@ -56,32 +132,33 @@ def _sample_sort_shard(local_keys, *, axis, capacity):
 
     s = jnp.sort(local_keys.astype(KEY_DTYPE))
 
-    # Regular sampling: P evenly spaced local quantiles.
-    stride = max(n // P_, 1)
-    sample_pos = jnp.arange(P_, dtype=jnp.int32) * stride
-    samples = s[sample_pos]  # (P,)
-    cand = jnp.sort(lax.all_gather(samples, axis).reshape(-1))  # (P*P,)
-    splitters = cand[jnp.arange(1, P_, dtype=jnp.int32) * P_]  # (P-1,)
-
-    bounds = jnp.searchsorted(s, splitters, side="left").astype(jnp.int32)
+    spl = _composite_splitters(s, axis=axis, order="rank_chip")
+    bounds = _composite_bounds(s, *spl, my, "rank_chip")
     send_bounds = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), bounds, jnp.full(1, n, jnp.int32)]
     )  # (P+1,)
     send_count = send_bounds[1:] - send_bounds[:-1]
-    overflowed = jnp.any(send_count > capacity)
+    offdiag, overflowed, self_lo, self_hi = _self_bypass(
+        send_bounds, send_count, my, P_, capacity
+    )
 
     padded = jnp.concatenate([s, jnp.full((capacity,), PAD_KEY, KEY_DTYPE)])
     # (P, C) — rows unmasked; receiver masks by exact counts.
     send_keys = send_windows(padded, send_bounds[:-1], capacity)
 
-    counts_mat = lax.all_gather(send_count, axis)  # (P, P): [i, c] = i -> c
-    recv_count = counts_mat[:, my]  # (P,)
+    counts_mat = lax.all_gather(offdiag, axis)  # (P, P): [i, c] = i -> c
+    recv_count = counts_mat[:, my]  # (P,) — 0 at my own row (bypassed)
 
     recv = lax.all_to_all(send_keys, axis, 0, 0, tiled=False)
     k_iota = lax.broadcasted_iota(jnp.int32, (P_, capacity), 1)
     masked = jnp.where(k_iota < recv_count[:, None], recv, PAD_KEY)
-    merged = jnp.sort(masked.reshape(-1))  # pads (max key) sort last
-    total = recv_count.sum().astype(jnp.int32)
+    # Self-destined slice, masked in place (contiguous in the sorted shard).
+    pos = jnp.arange(n, dtype=jnp.int32)
+    self_buf = jnp.where((pos >= self_lo) & (pos < self_hi), s, PAD_KEY)
+    merged = jnp.sort(
+        jnp.concatenate([masked.reshape(-1), self_buf])
+    )  # pads (max key) sort last
+    total = recv_count.sum().astype(jnp.int32) + (self_hi - self_lo)
     return merged, total[None], lax.psum(overflowed.astype(jnp.int32), axis)
 
 
@@ -96,8 +173,9 @@ def build_sample_sort(
 
     Returns ``fn(keys) -> (padded_shards, shard_counts, overflow)`` where
     keys has global shape (P*n_local,) sharded over ``axis``; padded_shards
-    has global shape (P * P * C,) (per-chip sorted buffer incl. padding),
-    shard_counts (P,) gives each chip's valid prefix length.
+    has global shape (P * (P*C + n_local),) (per-chip sorted buffer incl.
+    padding and the bypassed self slice), shard_counts (P,) gives each
+    chip's valid prefix length.
     """
     nchips = mesh.shape[axis]
     capacity = default_pair_capacity(n_local, nchips, capacity_factor)
@@ -142,18 +220,18 @@ def _sample_sort_kv_shard(local_keys, local_vals, *, axis, capacity):
         )
         vals_s = jnp.take(local_vals, order, axis=0)
 
-    stride = max(n // P_, 1)
-    sample_pos = jnp.arange(P_, dtype=jnp.int32) * stride
-    samples = s[sample_pos]
-    cand = jnp.sort(lax.all_gather(samples, axis).reshape(-1))
-    splitters = cand[jnp.arange(1, P_, dtype=jnp.int32) * P_]
-
-    bounds = jnp.searchsorted(s, splitters, side="left").astype(jnp.int32)
+    # Composite splitters in the STABLE order (key, chip, rank): the tie
+    # partition must agree with the final output's tie order, or shard
+    # concatenation would interleave ties out of global input order.
+    spl = _composite_splitters(s, axis=axis, order="chip_rank")
+    bounds = _composite_bounds(s, *spl, my, "chip_rank")
     send_bounds = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), bounds, jnp.full(1, n, jnp.int32)]
     )
     send_count = send_bounds[1:] - send_bounds[:-1]
-    overflowed = jnp.any(send_count > capacity)
+    offdiag, overflowed, self_lo, self_hi = _self_bypass(
+        send_bounds, send_count, my, P_, capacity
+    )
 
     padded_k = jnp.concatenate([s, jnp.full((capacity,), PAD_KEY, KEY_DTYPE)])
     padded_v = jnp.concatenate(
@@ -162,40 +240,57 @@ def _sample_sort_kv_shard(local_keys, local_vals, *, axis, capacity):
     send_keys = send_windows(padded_k, send_bounds[:-1], capacity)  # (P, C)
     send_vals = send_windows(padded_v, send_bounds[:-1], capacity)  # (P, C, W)
 
-    counts_mat = lax.all_gather(send_count, axis)
-    recv_count = counts_mat[:, my]
+    counts_mat = lax.all_gather(offdiag, axis)
+    recv_count = counts_mat[:, my]  # 0 at my own row (bypassed)
 
     recv_k = lax.all_to_all(send_keys, axis, 0, 0, tiled=False)
     recv_v = lax.all_to_all(send_vals, axis, 0, 0, tiled=False)
 
-    # Reassembly: receive order is (src chip, local rank); a stable sort by
-    # key therefore breaks ties by global input order.  Invalid slots must
-    # sort after ALL valid rows — a real 0xFFFFFFFF key from a later chip
-    # would otherwise tie with an earlier chip's padding and lose its
-    # payload to truncation — so validity is a second sort key, not a
-    # sentinel on the first.
+    # Reassembly: sort by EXPLICIT (key, validity, src chip, src rank) so
+    # the bypassed self slice (appended after the received rows, i.e. out
+    # of src order) still lands in the stable global position.  Validity
+    # must outrank src — a real 0xFFFFFFFF key from a later chip would
+    # otherwise tie with an earlier chip's padding and lose its payload to
+    # truncation.  Rank proxies need only be monotone within one (key,
+    # src) group: chunk-relative iota for received rows (each chunk is a
+    # contiguous ascending-rank slice), absolute index for the self slice.
     k_iota = lax.broadcasted_iota(jnp.int32, (P_, capacity), 1)
-    invalid = (k_iota >= recv_count[:, None]).astype(jnp.uint32)
-    keys_masked = jnp.where(invalid.astype(bool), PAD_KEY, recv_k)
-    recv_rows = recv_v.reshape(P_ * capacity, W)
+    invalid_rx = k_iota >= recv_count[:, None]
+    src_rx = lax.broadcasted_iota(jnp.int32, (P_, capacity), 0)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    in_self = (pos >= self_lo) & (pos < self_hi)
+
+    keys_all = jnp.concatenate([
+        jnp.where(invalid_rx, PAD_KEY, recv_k).reshape(-1),
+        jnp.where(in_self, s, PAD_KEY),
+    ])
+    invalid_all = jnp.concatenate([
+        invalid_rx.reshape(-1).astype(jnp.uint32),
+        (~in_self).astype(jnp.uint32),
+    ])
+    src_all = jnp.concatenate(
+        [src_rx.reshape(-1), jnp.broadcast_to(my, (n,)).astype(jnp.int32)]
+    )
+    rank_all = jnp.concatenate([k_iota.reshape(-1), pos])
+    rows_all = jnp.concatenate(
+        [recv_v.reshape(P_ * capacity, W), vals_s], axis=0
+    )
     if 0 < W <= MAX_SORT_LANES:
-        recv_lanes = tuple(recv_rows[:, w] for w in range(W))
+        lanes_all = tuple(rows_all[:, w] for w in range(W))
         merged = lax.sort(
-            (keys_masked.reshape(-1), invalid.reshape(-1), *recv_lanes),
-            num_keys=2,
-            is_stable=True,
+            (keys_all, invalid_all, src_all, rank_all, *lanes_all),
+            num_keys=4,
         )
         merged_k = merged[0]
-        merged_v = jnp.stack(merged[2:], axis=1)
+        merged_v = jnp.stack(merged[4:], axis=1)
     else:
-        flat_idx = jnp.arange(P_ * capacity, dtype=jnp.uint32)
-        merged_k, _, perm = lax.sort(
-            (keys_masked.reshape(-1), invalid.reshape(-1), flat_idx),
-            num_keys=2,
-            is_stable=True,
+        flat_idx = jnp.arange(rows_all.shape[0], dtype=jnp.uint32)
+        merged_k, _, _, _, perm = lax.sort(
+            (keys_all, invalid_all, src_all, rank_all, flat_idx),
+            num_keys=4,
         )
-        merged_v = jnp.take(recv_rows, perm, axis=0)
-    total = recv_count.sum().astype(jnp.int32)
+        merged_v = jnp.take(rows_all, perm, axis=0)
+    total = recv_count.sum().astype(jnp.int32) + (self_hi - self_lo)
     return merged_k, merged_v, total[None], lax.psum(
         overflowed.astype(jnp.int32), axis
     )
@@ -306,10 +401,13 @@ def sort_distributed_sample(
     """Host-facing distributed sample sort: pads, shards, runs PSRS,
     linearizes the ragged sorted shards exactly.
 
-    Degenerate distributions (duplicate-heavy, or already-sorted inputs
-    where every shard is self-destined) exceed any fixed pair capacity;
-    with ``fallback=True`` such overflows retry through the exact gather
-    exchange, otherwise they raise ``OverflowError_``.
+    Composite splitters + the diagonal bypass make duplicates (all-equal,
+    Zipf) and self-destined (already-sorted) inputs first-class on this
+    path.  Overflow now requires adversarial cross-chip placement — one
+    chip holding > capacity keys destined to one OTHER chip (e.g. globally
+    reverse-block-sorted input); with ``fallback=True`` such overflows
+    retry through the exact gather exchange, otherwise they raise
+    ``OverflowError_``.
     """
     from .distributed import OverflowError_
 
