@@ -46,6 +46,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute gates (pod-scale compile subprocesses)"
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
