@@ -185,6 +185,61 @@ def test_sort_distrib_from_raw(factory, width, nworker):
     assert checks.check_sort_full(got, keys)
 
 
+def test_device_fused_loop_engages_and_matches_legacy():
+    """The device backend's fused single-program round loop (VERDICT r2
+    item 2) must (a) actually engage — the per-shard worker callable is
+    never invoked — and (b) produce byte-identical per-round output arrays
+    (names, partition lens, STRIDED traversal) to the legacy per-worker
+    path on the mem backend."""
+    keys = Pcg32(state=3).fill(5000)
+    calls = []
+
+    def spy_worker(*a, **k):
+        calls.append(a[3])
+        return local_distrib_worker(*a, **k)
+
+    spy_worker._fused_device_strategy = None  # fused-eligible, like stock
+    dev = DeviceArrayFactory()
+    got = sort_distrib_from_raw(
+        keys, "fused", dev, spy_worker, width=8, nworker=3
+    )
+    assert not calls, "fused device loop must bypass the worker"
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+    # Cross-backend contract: same final arrays from the legacy mem path.
+    from gpu_radix_sort_tpu.parallel import sort_distrib_from_arr
+
+    def run(factory, tag):
+        arr = factory.create("in." + tag, create_shape([keys.size * 4]))
+        arr.write_part(0, keys.tobytes())
+        arr.close()
+        outs = sort_distrib_from_arr(
+            [arr], tag, factory, local_distrib_worker, width=8, nworker=3
+        )
+        lens = [o.get_shape().lens for o in outs]
+        stream = BucketReader(outs, ReadOrder.STRIDED).read()
+        return lens, stream
+
+    lens_d, stream_d = run(DeviceArrayFactory(), "xd")
+    lens_m, stream_m = run(MemArrayFactory(), "xm")
+    assert lens_d == lens_m
+    assert stream_d == stream_m
+
+
+def test_device_fused_loop_pinned_strategy_uses_worker():
+    """A pinned kernel strategy disables the fused path (it must go through
+    sort_partial_counts), falling back to the per-worker loop."""
+    from gpu_radix_sort_tpu.parallel.storage_sort import make_local_worker
+
+    keys = Pcg32(state=5).fill(2048)
+    worker = make_local_worker(strategy="xla")
+    assert worker._fused_device_strategy == "xla"
+    got = sort_distrib_from_raw(
+        keys, "pinned", DeviceArrayFactory(), worker, width=8, nworker=2
+    )
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
 def test_sort_distrib_width16_mem():
     """65536 buckets per round (the reference's 16b config, benchmark.go)."""
     keys = Pcg32().fill(4099)
