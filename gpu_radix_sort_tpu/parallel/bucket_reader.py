@@ -16,12 +16,23 @@ Two consumption modes, as in the reference:
   * ``read_ref(sz)``— emit PartRefs covering the next ``sz`` bytes WITHOUT
     copying (helpers.go:94-121) — the byte-balanced worker-shard split of
     the round loop (distrib.go:113-140) passes data by reference only.
+
+The traversal plan is numpy-vectorized (VERDICT r2 item 7): at width 16 a
+round's plan is 65,536 x nworker entries, and the former per-entry Python
+tuple walk cost ~7us each (~30s extrapolated at nworker=64 — the very
+metadata pathology the reference's 16-bit config exhibits, SURVEY.md §6).
+Plan construction is O(1) numpy ops over the lens matrix; ``read_ref``
+finds its span with two searchsorteds over the cumulative-length vector
+and only materializes PartRefs for entries actually covered.
 """
 
 from __future__ import annotations
 
 import enum
+import itertools
 from typing import Sequence
+
+import numpy as np
 
 from ..data.interface import DistribArray, PartRef
 
@@ -34,68 +45,107 @@ class ReadOrder(enum.Enum):
 class BucketReader:
     def __init__(self, arrays: Sequence[DistribArray], order: ReadOrder):
         self._order = order
-        # Snapshot traversal plan: (arr, part_idx, committed_len) in order.
-        plan: list[tuple[DistribArray, int, int]] = []
-        shapes = [(a, a.get_shape()) for a in arrays]
+        self._arrays = list(arrays)
+        shapes = [a.get_shape() for a in self._arrays]
+        A = len(self._arrays)
+        max_np = max((s.npart for s in shapes), default=0)
+        lens_mat = np.zeros((A, max_np), dtype=np.int64)
+        valid = np.zeros((A, max_np), dtype=bool)
+        for i, s in enumerate(shapes):
+            ls = np.asarray(s.lens, dtype=np.int64)
+            lens_mat[i, : ls.size] = ls
+            valid[i, : ls.size] = True
         if order is ReadOrder.STRIDED:
-            max_np = max((s.npart for _, s in shapes), default=0)
-            for p in range(max_np):
-                for a, s in shapes:
-                    if p < s.npart:
-                        plan.append((a, p, s.len(p)))
+            # partition-major: entry order (p, a); arrays vary fastest.
+            lens_f = lens_mat.T.reshape(-1)
+            valid_f = valid.T.reshape(-1)
+            arr_f = np.tile(np.arange(A, dtype=np.int32), max_np)
+            part_f = np.repeat(np.arange(max_np, dtype=np.int32), A)
         else:
-            for a, s in shapes:
-                for p in range(s.npart):
-                    plan.append((a, p, s.len(p)))
-        self._plan = plan
-        self._seq = 0  # index into plan
-        self._off = 0  # byte offset within current partition
+            lens_f = lens_mat.reshape(-1)
+            valid_f = valid.reshape(-1)
+            arr_f = np.repeat(np.arange(A, dtype=np.int32), max_np)
+            part_f = np.tile(np.arange(max_np, dtype=np.int32), A)
+        # Zero-length (and ragged-missing) partitions contribute no bytes
+        # and are never surfaced by read/read_ref — drop them from the plan.
+        keep = valid_f & (lens_f > 0)
+        self._arr_f = arr_f[keep]
+        self._part_f = part_f[keep]
+        lens_kept = lens_f[keep]
+        self._cum = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(lens_kept)]
+        )
+        self._pos = 0  # absolute byte position in the traversal
 
     @property
     def total_bytes(self) -> int:
-        return sum(ln for _, _, ln in self._plan)
+        return int(self._cum[-1])
 
-    def _advance_past_empty(self) -> bool:
-        """Position on a partition with remaining bytes; False at EOF."""
-        while self._seq < len(self._plan):
-            if self._off < self._plan[self._seq][2]:
-                return True
-            self._seq += 1
-            self._off = 0
-        return False
+    def _span(self, nbytes: int):
+        """Entry range [i0, i1) plus per-entry (start, take) vectors
+        covering the next ``nbytes`` of the traversal; advances nothing."""
+        end = min(self._pos + max(nbytes, 0), self.total_bytes)
+        if end <= self._pos:
+            return 0, 0, None, None, self._pos
+        i0 = int(np.searchsorted(self._cum, self._pos, side="right")) - 1
+        i1 = int(np.searchsorted(self._cum, end, side="left"))
+        entry_lo = self._cum[i0:i1]
+        starts = np.maximum(self._pos, entry_lo) - entry_lo
+        takes = (
+            np.minimum(end, self._cum[i0 + 1 : i1 + 1])
+            - np.maximum(self._pos, entry_lo)
+        )
+        return i0, i1, starts, takes, end
 
     def read_ref(self, sz: int) -> list[PartRef]:
         """PartRefs covering the next ``sz`` bytes (fewer at EOF); zero-copy
         (reference: ReadRef, helpers.go:94-121)."""
-        refs: list[PartRef] = []
-        remaining = sz
-        while remaining > 0 and self._advance_past_empty():
-            arr, part, ln = self._plan[self._seq]
-            take = min(remaining, ln - self._off)
-            refs.append(PartRef(arr, part, self._off, take))
-            self._off += take
-            remaining -= take
+        i0, i1, starts, takes, end = self._span(sz)
+        if i1 <= i0:
+            return []
+        # C-speed bulk construction (~0.3us/ref): tolist() beats per-element
+        # numpy access (~100ns each), and tuple.__new__(PartRef, row) skips
+        # the Python-level NamedTuple __new__ (~1.3us) — at 2^16 * nworker
+        # refs per w16 round this was the metadata budget (VERDICT r2
+        # item 7; measured 9.4s -> 1.5s at 64 x 65536).
+        refs = list(
+            map(
+                tuple.__new__,
+                itertools.repeat(PartRef),
+                zip(
+                    map(
+                        self._arrays.__getitem__, self._arr_f[i0:i1].tolist()
+                    ),
+                    self._part_f[i0:i1].tolist(),
+                    starts.tolist(),
+                    takes.tolist(),
+                ),
+            )
+        )
+        self._pos = end
         return refs
 
     def read(self, n: int = -1) -> bytes:
         """Next ``n`` bytes in traversal order (all remaining if n < 0)."""
         if n is None or n < 0:
-            n = self.total_bytes  # upper bound; loop stops at EOF
+            n = self.total_bytes
+        i0, i1, starts, takes, end = self._span(n)
+        if i1 <= i0:
+            return b""
         chunks: list[bytes] = []
-        got = 0
-        while got < n and self._advance_past_empty():
-            arr, part, ln = self._plan[self._seq]
-            take = min(n - got, ln - self._off)
+        for a, p, s, t in zip(
+            self._arr_f[i0:i1], self._part_f[i0:i1], starts, takes
+        ):
+            arr = self._arrays[a]
             with arr.get_part_range_reader(
-                part, self._off, self._off + take
+                int(p), int(s), int(s) + int(t)
             ) as r:
                 chunk = r.read()
-            if len(chunk) != take:
+            if len(chunk) != t:
                 raise IOError(
-                    f"short read from {arr.name}[{part}]: want {take}, "
+                    f"short read from {arr.name}[{p}]: want {t}, "
                     f"got {len(chunk)}"
                 )
             chunks.append(chunk)
-            self._off += take
-            got += take
+        self._pos = end
         return b"".join(chunks)
