@@ -365,6 +365,118 @@ def binning_pass(
     return out.reshape(-1)[:n]
 
 
+def binning_pass_kv(
+    keys: jnp.ndarray,
+    lanes: jnp.ndarray,
+    offset: int,
+    width: int,
+    *,
+    tile: int | None = None,
+    b_out: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One stable kv binning pass: ``lanes`` (n, L) uint32 payload lanes
+    follow their keys (reference: the paired key/value radix pipeline,
+    libsort/sort.cu:29-213).
+
+    Stage A carries the lanes as extra row-sort operands; stage B runs the
+    UNCHANGED binning kernel over an interleaved record stream
+    [k0 v0.. k1 v1..] — every kernel quantity is element-granular, so
+    record-width R = 1+L just scales the run metadata (g_run, sflat) and
+    the block size by R.  Fragment COUNT — the scalar-core bound of stage B
+    (docs/PERF_NOTES.md round-2 addendum) — is unchanged; only DMA bytes
+    scale with R, and stage B is not bandwidth-bound.
+    """
+    validate_digit_range(offset, width)
+    if lanes.ndim != 2 or lanes.shape[0] != keys.shape[0]:
+        raise ValueError(
+            f"lanes must be (n, L) with n == len(keys); got {lanes.shape}"
+        )
+    n, L = lanes.shape
+    R = 1 + L
+    if tile is None or b_out is None:
+        at, ab = auto_geometry(n, width)
+        tile = tile or at
+        b_out = b_out or ab
+    if tile % b_out:
+        raise ValueError(f"tile {tile} must be a multiple of b_out {b_out}")
+    if (b_out * R) % (CHUNK_ROWS * LANES):
+        raise ValueError(
+            f"b_out*R {b_out * R} must be a multiple of {CHUNK_ROWS * LANES}"
+        )
+    if n == 0:
+        return keys.astype(KEY_DTYPE), lanes.astype(jnp.uint32)
+    n_pad = max(-(-n // tile) * tile, tile)
+    pk = jnp.concatenate(
+        [keys.astype(KEY_DTYPE), jnp.full((n_pad - n,), PAD, KEY_DTYPE)]
+    )
+    pv = jnp.concatenate(
+        [lanes.astype(jnp.uint32), jnp.zeros((n_pad - n, L), jnp.uint32)]
+    )
+    n_tiles = n_pad // tile
+    keys_t = pk.reshape(n_tiles, tile)
+    digits = extract_digits(keys_t, offset, width)
+    if width <= 7:
+        digits = digits.astype(jnp.uint8)  # same measured row-sort win
+    ops = lax.sort(
+        (digits, keys_t)
+        + tuple(pv[:, w].reshape(n_tiles, tile) for w in range(L)),
+        dimension=1,
+        num_keys=1,
+        is_stable=True,
+    )
+    sorted_digits, sorted_keys = ops[0], ops[1]
+    queries = jnp.arange((1 << width) + 1, dtype=jnp.int32)
+    starts = jax.vmap(
+        lambda row: jnp.searchsorted(
+            row.astype(jnp.int32), queries, side="left"
+        )
+    )(sorted_digits).astype(jnp.int32)
+
+    g_run, sflat, k0, nfrag = _binning_metadata(starts, tile, b_out, n_pad)
+    # Element-granular metadata: run k covers records [g_run[k], g_run[k+1])
+    # <=> elements [R*g_run[k], R*g_run[k+1]) of the interleaved stream.
+    g_run_e = g_run * jnp.int32(R)
+    sflat_e = sflat * jnp.int32(R)
+
+    rec = jnp.stack(
+        [sorted_keys.reshape(-1)] + [o.reshape(-1) for o in ops[2:]], axis=1
+    ).reshape(-1)  # (n_pad * R,) interleaved records
+    x = jnp.concatenate(
+        [
+            jnp.full((SRC_FRONT_ROWS, LANES), PAD, KEY_DTYPE),
+            rec.reshape(-1, LANES),
+            jnp.full((2 * CHUNK_ROWS, LANES), PAD, KEY_DTYPE),
+        ]
+    )
+    out = _bin_call(n_pad // b_out, b_out * R, _interpret())(
+        k0, nfrag, g_run_e, sflat_e, x
+    )
+    rec_out = out.reshape(-1, R)[:n]
+    return rec_out[:, 0], rec_out[:, 1:]
+
+
+def sort_key_value_by_digits_large(
+    keys: jnp.ndarray,
+    lanes: jnp.ndarray,
+    offset: int,
+    width: int,
+    *,
+    tile: int | None = None,
+    b_out: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Stable kv sort by bits [offset, offset+width) as LSD subpasses of
+    PASS_WIDTH bits (see :func:`sort_by_digits_large`)."""
+    validate_digit_range(offset, width)
+    done = 0
+    while done < width:
+        w = min(PASS_WIDTH, width - done)
+        keys, lanes = binning_pass_kv(
+            keys, lanes, offset + done, w, tile=tile, b_out=b_out
+        )
+        done += w
+    return keys, lanes
+
+
 def sort_by_digits_large(
     keys: jnp.ndarray,
     offset: int,

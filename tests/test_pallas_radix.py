@@ -59,6 +59,58 @@ def test_binning_pass_skew(case):
         np.testing.assert_array_equal(got, _oracle(keys, offset, 4))
 
 
+def _kv_oracle(keys, lanes, offset, width):
+    digits = (keys >> np.uint32(offset)) & np.uint32((1 << width) - 1)
+    order = np.argsort(digits, kind="stable")
+    return keys[order], lanes[order]
+
+
+@pytest.mark.parametrize("n,L", [(1, 1), (1024, 1), (1111, 3), (6000, 1),
+                                 (6000, 2)])
+def test_binning_pass_kv_exact(n, L):
+    keys = Pcg32().fill(n)
+    lanes = np.arange(n * L, dtype=np.uint32).reshape(n, L)  # provenance
+    gk, gv = (
+        np.asarray(a)
+        for a in pr.binning_pass_kv(
+            keys, lanes, 8, 4, tile=TILE, b_out=B_OUT
+        )
+    )
+    wk, wv = _kv_oracle(keys, lanes, 8, 4)
+    np.testing.assert_array_equal(gk, wk)
+    np.testing.assert_array_equal(gv, wv)
+
+
+def test_binning_pass_kv_stability_duplicates():
+    n = 5000
+    rng = np.random.default_rng(1)
+    keys = rng.integers(0, 8, n, dtype=np.uint32)  # heavy duplicates
+    lanes = np.arange(n, dtype=np.uint32).reshape(n, 1)
+    gk, gv = (
+        np.asarray(a)
+        for a in pr.binning_pass_kv(keys, lanes, 0, 4, tile=TILE, b_out=B_OUT)
+    )
+    wk, wv = _kv_oracle(keys, lanes, 0, 4)
+    np.testing.assert_array_equal(gk, wk)
+    np.testing.assert_array_equal(gv, wv)  # payload order = stability proof
+
+
+@pytest.mark.parametrize("width", [8])
+def test_sort_kv_by_digits_large_multipass(width):
+    n = 6000
+    keys = Pcg32().fill(n)
+    lanes = np.arange(n, dtype=np.uint32).reshape(n, 1)
+    gk, gv = (
+        np.asarray(a)
+        for a in pr.sort_key_value_by_digits_large(
+            keys, lanes, 4, width, tile=TILE, b_out=B_OUT
+        )
+    )
+    wk, wv = _kv_oracle(keys, lanes, 4, width)
+    np.testing.assert_array_equal(gk, wk)
+    np.testing.assert_array_equal(gv, wv)
+
+
 def test_binning_pass_full_range_keys():
     # 0x00000000 and 0xFFFFFFFF are data, not sentinels
     keys = np.array(
