@@ -365,61 +365,70 @@ def binning_pass(
     return out.reshape(-1)[:n]
 
 
-def binning_pass_kv(
+def binning_pass_kv_cols(
     keys: jnp.ndarray,
-    lanes: jnp.ndarray,
+    cols: tuple,
     offset: int,
     width: int,
     *,
     tile: int | None = None,
     b_out: int | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """One stable kv binning pass: ``lanes`` (n, L) uint32 payload lanes
-    follow their keys (reference: the paired key/value radix pipeline,
-    libsort/sort.cu:29-213).
+) -> tuple[jnp.ndarray, tuple]:
+    """One stable kv binning pass over COLUMN streams: each element of
+    ``cols`` is a (n,) uint32 payload lane following its key (reference:
+    the paired key/value radix pipeline, libsort/sort.cu:29-213).
 
     Stage A carries the lanes as extra row-sort operands; stage B runs the
-    UNCHANGED binning kernel over an interleaved record stream
-    [k0 v0.. k1 v1..] — every kernel quantity is element-granular, so
-    record-width R = 1+L just scales the run metadata (g_run, sflat) and
-    the block size by R.  Fragment COUNT — the scalar-core bound of stage B
-    (docs/PERF_NOTES.md round-2 addendum) — is unchanged; only DMA bytes
-    scale with R, and stage B is not bandwidth-bound.
-    """
+    UNCHANGED binning kernel once per stream — keys, then each lane — with
+    the SAME (key-digit-derived) run metadata: stage A's row sort moves
+    whole records, so every stream shares one tile-sorted layout and one
+    fragment plan.  Fragment work (the scalar-core bound of stage B,
+    docs/PERF_NOTES.md round-2 addendum) scales with the number of
+    streams, but stage B is ~20% of pass time at production geometry, so
+    lanes cost far less than a second XLA sort operand.
+
+    Columns, not an (n, L) matrix, on purpose: TPU tiled layouts pad a
+    minor axis of L < 128 up to the 128-lane tile — an (n, 2) uint32
+    array materializes at 64x its logical bytes (measured: 32 GiB for
+    64M records).  Everything here stays (n,) / (rows, 128)."""
     validate_digit_range(offset, width)
-    if lanes.ndim != 2 or lanes.shape[0] != keys.shape[0]:
-        raise ValueError(
-            f"lanes must be (n, L) with n == len(keys); got {lanes.shape}"
-        )
-    n, L = lanes.shape
-    R = 1 + L
+    n = keys.shape[0]
+    for c in cols:
+        if c.shape != (n,):
+            raise ValueError(
+                f"each payload column must be ({n},); got {c.shape}"
+            )
     if tile is None or b_out is None:
         at, ab = auto_geometry(n, width)
         tile = tile or at
         b_out = b_out or ab
     if tile % b_out:
         raise ValueError(f"tile {tile} must be a multiple of b_out {b_out}")
-    if (b_out * R) % (CHUNK_ROWS * LANES):
+    if b_out % (CHUNK_ROWS * LANES):
         raise ValueError(
-            f"b_out*R {b_out * R} must be a multiple of {CHUNK_ROWS * LANES}"
+            f"b_out {b_out} must be a multiple of {CHUNK_ROWS * LANES}"
         )
-    if n == 0:
-        return keys.astype(KEY_DTYPE), lanes.astype(jnp.uint32)
+    if n == 0 or not cols:
+        return binning_pass(
+            keys, offset, width, tile=tile, b_out=b_out
+        ), tuple(c.astype(jnp.uint32) for c in cols)
     n_pad = max(-(-n // tile) * tile, tile)
     pk = jnp.concatenate(
         [keys.astype(KEY_DTYPE), jnp.full((n_pad - n,), PAD, KEY_DTYPE)]
-    )
-    pv = jnp.concatenate(
-        [lanes.astype(jnp.uint32), jnp.zeros((n_pad - n, L), jnp.uint32)]
     )
     n_tiles = n_pad // tile
     keys_t = pk.reshape(n_tiles, tile)
     digits = extract_digits(keys_t, offset, width)
     if width <= 7:
         digits = digits.astype(jnp.uint8)  # same measured row-sort win
+    padded_cols = tuple(
+        jnp.concatenate(
+            [c.astype(jnp.uint32), jnp.zeros(n_pad - n, jnp.uint32)]
+        ).reshape(n_tiles, tile)
+        for c in cols
+    )
     ops = lax.sort(
-        (digits, keys_t)
-        + tuple(pv[:, w].reshape(n_tiles, tile) for w in range(L)),
+        (digits, keys_t) + padded_cols,
         dimension=1,
         num_keys=1,
         is_stable=True,
@@ -433,29 +442,24 @@ def binning_pass_kv(
     )(sorted_digits).astype(jnp.int32)
 
     g_run, sflat, k0, nfrag = _binning_metadata(starts, tile, b_out, n_pad)
-    # Element-granular metadata: run k covers records [g_run[k], g_run[k+1])
-    # <=> elements [R*g_run[k], R*g_run[k+1]) of the interleaved stream.
-    g_run_e = g_run * jnp.int32(R)
-    sflat_e = sflat * jnp.int32(R)
+    call = _bin_call(n_pad // b_out, b_out, _interpret())
 
-    rec = jnp.stack(
-        [sorted_keys.reshape(-1)] + [o.reshape(-1) for o in ops[2:]], axis=1
-    ).reshape(-1)  # (n_pad * R,) interleaved records
-    x = jnp.concatenate(
-        [
-            jnp.full((SRC_FRONT_ROWS, LANES), PAD, KEY_DTYPE),
-            rec.reshape(-1, LANES),
-            jnp.full((2 * CHUNK_ROWS, LANES), PAD, KEY_DTYPE),
-        ]
-    )
-    out = _bin_call(n_pad // b_out, b_out * R, _interpret())(
-        k0, nfrag, g_run_e, sflat_e, x
-    )
-    rec_out = out.reshape(-1, R)[:n]
-    return rec_out[:, 0], rec_out[:, 1:]
+    def run_stream(stream_t):
+        x = jnp.concatenate(
+            [
+                jnp.full((SRC_FRONT_ROWS, LANES), PAD, KEY_DTYPE),
+                stream_t.reshape(-1, LANES),
+                jnp.full((2 * CHUNK_ROWS, LANES), PAD, KEY_DTYPE),
+            ]
+        )
+        return call(k0, nfrag, g_run, sflat, x).reshape(-1)[:n]
+
+    out_keys = run_stream(sorted_keys)
+    out_cols = tuple(run_stream(o) for o in ops[2:])
+    return out_keys, out_cols
 
 
-def sort_key_value_by_digits_large(
+def binning_pass_kv(
     keys: jnp.ndarray,
     lanes: jnp.ndarray,
     offset: int,
@@ -464,17 +468,54 @@ def sort_key_value_by_digits_large(
     tile: int | None = None,
     b_out: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(n, L)-matrix convenience wrapper over
+    :func:`binning_pass_kv_cols`.  Prefer the column API under jit — the
+    (n, L) form round-trips through a lane-padded layout at the jit
+    boundary (see binning_pass_kv_cols docstring)."""
+    if lanes.ndim != 2 or lanes.shape[0] != keys.shape[0]:
+        raise ValueError(
+            f"lanes must be (n, L) with n == len(keys); got {lanes.shape}"
+        )
+    L = lanes.shape[1]
+    out_keys, out_cols = binning_pass_kv_cols(
+        keys,
+        tuple(lanes[:, w] for w in range(L)),
+        offset,
+        width,
+        tile=tile,
+        b_out=b_out,
+    )
+    return out_keys, jnp.stack(out_cols, axis=1) if L else lanes
+
+
+def sort_key_value_by_digits_large(
+    keys: jnp.ndarray,
+    cols: tuple,
+    offset: int,
+    width: int,
+    *,
+    tile: int | None = None,
+    b_out: int | None = None,
+) -> tuple[jnp.ndarray, tuple]:
     """Stable kv sort by bits [offset, offset+width) as LSD subpasses of
-    PASS_WIDTH bits (see :func:`sort_by_digits_large`)."""
+    PASS_WIDTH bits (see :func:`sort_by_digits_large`).  ``cols`` may be a
+    tuple of (n,) uint32 columns (preferred under jit — layout-safe) or an
+    (n, L) matrix; the return matches the input form."""
     validate_digit_range(offset, width)
+    matrix = getattr(cols, "ndim", None) == 2
+    if matrix:
+        lanes = cols
+        cols = tuple(lanes[:, w] for w in range(lanes.shape[1]))
     done = 0
     while done < width:
         w = min(PASS_WIDTH, width - done)
-        keys, lanes = binning_pass_kv(
-            keys, lanes, offset + done, w, tile=tile, b_out=b_out
+        keys, cols = binning_pass_kv_cols(
+            keys, cols, offset + done, w, tile=tile, b_out=b_out
         )
         done += w
-    return keys, lanes
+    if matrix:
+        return keys, jnp.stack(cols, axis=1)
+    return keys, cols
 
 
 def sort_by_digits_large(

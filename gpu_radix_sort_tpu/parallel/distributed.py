@@ -30,7 +30,9 @@ from ..ops.bits import KEY_BITS
 from . import exchange as ex
 from .mesh import KEY_AXIS, key_mesh
 
-_VALID_EXCHANGE = ("auto", "alltoall", "overflow", "gather", "rdma")
+_VALID_EXCHANGE = (
+    "auto", "alltoall", "overflow", "gather", "rdma", "rdma_overlap"
+)
 
 
 def _round_fn(local_keys, *, offset, width, axis, exchange, capacity, strategy):
@@ -49,6 +51,12 @@ def _round_fn(local_keys, *, offset, width, axis, exchange, capacity, strategy):
         return exchange_round_rdma(
             local_keys, offset, width, axis, strategy=strategy
         )
+    if exchange == "rdma_overlap":
+        from .rdma_overlap import exchange_round_rdma_overlapped
+
+        return exchange_round_rdma_overlapped(
+            local_keys, offset, width, axis, tile=capacity
+        )
     return ex.exchange_round_alltoall(
         local_keys, offset, width, axis, capacity, strategy=strategy
     )
@@ -63,6 +71,7 @@ def build_distributed_sort(
     capacity_factor: float = 1.25,
     strategy: str | None = None,
     axis: str = KEY_AXIS,
+    overlap_tile: int | None = None,
 ):
     """Compile-ready distributed full sort.
 
@@ -94,6 +103,14 @@ def build_distributed_sort(
                 f"exchange='rdma' needs n_local ({n_local}) to be a "
                 f"multiple of {LANES} (DMA row granularity)"
             )
+    elif exchange == "rdma_overlap":
+        from .rdma_overlap import MAX_WIDTH as _OV_MAX_W, pick_tile
+
+        if width > _OV_MAX_W:
+            raise ValueError(
+                f"exchange='rdma_overlap' supports width <= {_OV_MAX_W}"
+            )
+        capacity = overlap_tile or pick_tile(n_local)  # group tile size
     else:
         capacity = ex.default_capacity(n_local, nchips, capacity_factor)
     nsteps = KEY_BITS // width
@@ -115,7 +132,10 @@ def build_distributed_sort(
 
     # check_vma=False for rdma: interpret-mode pallas drops varying-axis
     # metadata on scalar-prefetch operands (rdma_exchange.py docstring).
-    kwargs = {"check_vma": False} if exchange == "rdma" else {}
+    kwargs = (
+        {"check_vma": False}
+        if exchange in ("rdma", "rdma_overlap") else {}
+    )
     fn = shard_map(
         sort_shard,
         mesh=mesh,
@@ -156,6 +176,13 @@ def sort_distributed(
         from ..ops.pallas_sort import LANES
 
         n_local = -(-n_local // LANES) * LANES  # DMA row granularity
+    elif exchange == "rdma_overlap":
+        from .rdma_overlap import ALIGN, pick_tile
+        from ..ops.pallas_sort import LANES
+
+        del pick_tile  # tile is re-derived in build_distributed_sort
+        grain = ALIGN * LANES  # minimum group tile (a pow2 divisor exists)
+        n_local = -(-n_local // grain) * grain
     n_pad = n_local * nchips
     if n_pad * 1 >= (1 << 31) and not jax.config.jax_enable_x64:
         raise ValueError(
