@@ -157,7 +157,9 @@ def main():
     if which in ("all", "w8"):
         probe_binning_kv_w8(n, 32768, 8192)
     if which in ("all", "kv64"):
-        probe_kv64(32 * 1024 * 1024)
+        # 16M rows: 32M OOMs HBM — the grouped lane sorts keep the (n, 16)
+        # u32 lane block plus sort temps live, >16 GiB at 32M x 64B.
+        probe_kv64(16 * 1024 * 1024)
 
 
 if __name__ == "__main__":

@@ -557,3 +557,18 @@ def supported_auto(n: int, width: int) -> bool:
         and width <= AUTO_MAX_WIDTH
         and not _interpret()
     )
+
+
+# kv lanes: width 4 measured 2.31x XLA at 64M pairs; width 5-8 runs as
+# two subpasses at 1.12x — only worth the Mosaic compile at large n
+# (docs/BENCH_R3.md round-3 kv probe).
+AUTO_MIN_N_KV_WIDE = 1 << 25
+
+
+def supported_auto_kv(n: int, width: int) -> bool:
+    """Auto-dispatch gate for the kv (single u32 lane) digit sort."""
+    if _interpret():
+        return False
+    if width <= AUTO_MAX_WIDTH:
+        return n >= AUTO_MIN_N
+    return width <= 2 * PASS_WIDTH and n >= AUTO_MIN_N_KV_WIDE

@@ -289,11 +289,40 @@ def sort_key_value_by_digits(
     values: jnp.ndarray,
     offset: int,
     width: int,
+    *,
+    strategy: str | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Stable partial (digit) sort of (key, value) rows.  Narrow payloads
-    ride the digit sort as operands (see :func:`sort_key_value`)."""
+    ride the digit sort as operands (see :func:`sort_key_value`).
+
+    Strategy "auto" (default): single u32-width payloads at engine scale
+    route to the Pallas radix binning engine's kv lanes — measured 2.31x
+    XLA at width 4 / 64M pairs, 1.12x as two subpasses at width 8
+    (docs/BENCH_R3.md); everything else stays on the XLA operand-riding
+    sort.  Pass strategy="xla" to pin the XLA path."""
     validate_digit_range(offset, width)
     keys = keys.astype(KEY_DTYPE)
+    if strategy not in (None, "auto", "xla", "pallas_radix"):
+        raise ValueError(
+            f"strategy must be None/'auto'/'xla'/'pallas_radix', got {strategy!r}"
+        )
+    kv_lane = (
+        values.ndim == 1
+        and values.dtype.itemsize == 4
+        and values.dtype.kind in "uif"
+    )
+    if strategy != "xla" and kv_lane:
+        from . import pallas_radix
+
+        if strategy == "pallas_radix" or pallas_radix.supported_auto_kv(
+            keys.shape[0], width
+        ):
+            col = values.view(jnp.uint32) if values.dtype != jnp.uint32 \
+                else values
+            sk, (sv,) = pallas_radix.sort_key_value_by_digits_large(
+                keys, (col,), offset, width
+            )
+            return sk, sv.view(values.dtype)
     digits = extract_digits(keys, offset, width)
     if width <= 8:  # same measured u8/u16 downcast as _sort_partial_xla
         digits = digits.astype(jnp.uint8)

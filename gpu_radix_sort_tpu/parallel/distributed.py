@@ -62,6 +62,83 @@ def _round_fn(local_keys, *, offset, width, axis, exchange, capacity, strategy):
     )
 
 
+def _exchange_raw(sorted_local, *, offset, width, axis, exchange, capacity):
+    """Round k's exchange on an already digit-sorted shard, WITHOUT the
+    reassembly sort: returns (tags, flat, overflowed) — see
+    exchange.exchange_round_alltoall_raw for the contract."""
+    if exchange == "overflow":
+        c0, c_ov = capacity
+        return ex.exchange_round_alltoall_overflow_raw(
+            sorted_local, offset, width, axis, c0, c_ov
+        )
+    if exchange == "rdma":
+        from .rdma_exchange import exchange_round_rdma_raw
+
+        return exchange_round_rdma_raw(sorted_local, offset, width, axis)
+    return ex.exchange_round_alltoall_raw(
+        sorted_local, offset, width, axis, capacity
+    )
+
+
+def _fused_sort_shard(local_keys, *, width, axis, exchange, capacity,
+                      strategy, nsteps):
+    """LSD loop with round fusion: the reassembly sort of round k and the
+    local digit sort of round k+1 collapse into ONE stable composite-key
+    sort.
+
+    Receive order after round k is (src, (digit_k, rank)); the required
+    round-k order is (digit_k, src, rank); round k+1 then needs a stable
+    sort by digit_{k+1} over that order.  Stable-sort-by-b then
+    stable-sort-by-a equals one stable sort by the lexicographic pair
+    (a, b) — so sorting the receive buffer ONCE by
+
+        composite = digit_{k+1} * (D + 1) + tag_k        (tag_k = digit_k,
+                    D*(D+1) on invalid slack slots)      sentinel D)
+
+    yields round k's reassembly AND round k+1's local sort in a single
+    kv-sort.  Per round that halves the dominant cost: the unfused loop
+    pays 2 full sorts/round (measured on chip: 84ms local + ~60ms
+    reassembly at 16M — docs/BENCH_R3.md), the fused loop pays 1 (plus
+    one extra sort at each end of the loop).  Requires
+    2*width+1 <= 32 composite bits → width <= 8 given D+1 packing
+    (width 16 keeps the unfused loop).
+
+    Same invariants, same overflow semantics, same exchanges; the
+    composed output is bit-identical to the unfused loop (tested)."""
+    from ..ops.radix_sort import sort_by_digits
+    from ..ops.bits import extract_digits
+
+    n_local = local_keys.shape[0]
+    D = jnp.uint32(1 << width)
+    overflow = jnp.int32(0)
+
+    sorted_local = sort_by_digits(local_keys, 0, width, strategy=strategy)
+    tags = flat = None
+    for step in range(nsteps):
+        if step > 0:
+            # one composite sort = reassembly(step-1) + local sort(step)
+            nd = extract_digits(flat, step * width, width)
+            comp = jnp.where(
+                tags == D,
+                D * (D + jnp.uint32(1)),
+                nd * (D + jnp.uint32(1)) + tags,
+            )
+            _, sorted_buf = lax.sort_key_val(comp, flat, is_stable=True)
+            sorted_local = sorted_buf[:n_local]
+        tags, flat, ovf = _exchange_raw(
+            sorted_local,
+            offset=step * width,
+            width=width,
+            axis=axis,
+            exchange=exchange,
+            capacity=capacity,
+        )
+        overflow = overflow + ovf.astype(jnp.int32)
+    # final reassembly of the last round
+    _, reassembled = lax.sort_key_val(tags, flat, is_stable=True)
+    return reassembled[:n_local], lax.psum(overflow, axis)
+
+
 def build_distributed_sort(
     mesh,
     n_local: int,
@@ -72,6 +149,7 @@ def build_distributed_sort(
     strategy: str | None = None,
     axis: str = KEY_AXIS,
     overlap_tile: int | None = None,
+    fuse_rounds: bool | None = None,
 ):
     """Compile-ready distributed full sort.
 
@@ -79,6 +157,11 @@ def build_distributed_sort(
     keys has global shape (P * n_local,) sharded over ``axis``.  The round
     loop is the reference's ``nstep = 32/width`` structure
     (distrib.go:109-176) with the exchange fused into each round.
+
+    ``fuse_rounds`` (default auto: on for width <= 8 with the alltoall /
+    overflow / rdma exchanges) collapses each round's reassembly sort and
+    the next round's local digit sort into one composite-key sort — see
+    :func:`_fused_sort_shard`.  Output is bit-identical either way.
     """
     if KEY_BITS % width or width > 16:
         # width=32 would need 2^32 digit-count bins and a sentinel digit
@@ -114,21 +197,45 @@ def build_distributed_sort(
     else:
         capacity = ex.default_capacity(n_local, nchips, capacity_factor)
     nsteps = KEY_BITS // width
+    if fuse_rounds is None:
+        fuse_rounds = width <= 8 and exchange in (
+            "alltoall", "overflow", "rdma"
+        )
+    elif fuse_rounds and (
+        width > 8 or exchange not in ("alltoall", "overflow", "rdma")
+    ):
+        raise ValueError(
+            "fuse_rounds requires width <= 8 (composite-key bits) and "
+            "exchange in ('alltoall', 'overflow', 'rdma'); got "
+            f"width={width}, exchange={exchange!r}"
+        )
 
-    def sort_shard(local_keys):
-        overflow = jnp.int32(0)
-        for step in range(nsteps):
-            local_keys, ovf = _round_fn(
+    if fuse_rounds:
+        def sort_shard(local_keys):
+            return _fused_sort_shard(
                 local_keys,
-                offset=step * width,
                 width=width,
                 axis=axis,
                 exchange=exchange,
                 capacity=capacity,
                 strategy=strategy,
+                nsteps=nsteps,
             )
-            overflow = overflow + ovf.astype(jnp.int32)
-        return local_keys, lax.psum(overflow, axis)
+    else:
+        def sort_shard(local_keys):
+            overflow = jnp.int32(0)
+            for step in range(nsteps):
+                local_keys, ovf = _round_fn(
+                    local_keys,
+                    offset=step * width,
+                    width=width,
+                    axis=axis,
+                    exchange=exchange,
+                    capacity=capacity,
+                    strategy=strategy,
+                )
+                overflow = overflow + ovf.astype(jnp.int32)
+            return local_keys, lax.psum(overflow, axis)
 
     # check_vma=False for rdma: interpret-mode pallas drops varying-axis
     # metadata on scalar-prefetch operands (rdma_exchange.py docstring).

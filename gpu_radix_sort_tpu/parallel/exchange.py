@@ -84,12 +84,19 @@ def _round_metadata(local_keys, offset, width, axis, strategy):
     stable digit sort, all-gathered count matrix, and the metadata-derived
     (send_bounds, send_count, recv_count) — destinations are monotone
     along the digit-sorted shard, so per-peer slices are windows."""
-    n_local = local_keys.shape[0]
+    sorted_local = sort_by_digits(local_keys, offset, width, strategy=strategy)
+    return _round_metadata_sorted(sorted_local, offset, width, axis)
+
+
+def _round_metadata_sorted(sorted_local, offset, width, axis):
+    """_round_metadata for an ALREADY digit-sorted shard (the fused round
+    loop sorts by composite key before calling the exchange — see
+    distributed.build_distributed_sort)."""
+    n_local = sorted_local.shape[0]
     P_ = lax.axis_size(axis)
     my = lax.axis_index(axis)
     pos_t = _pos_dtype()
 
-    sorted_local = sort_by_digits(local_keys, offset, width, strategy=strategy)
     counts = digit_counts_sorted(sorted_local, offset, width)  # (D,) int32
 
     all_counts = lax.all_gather(counts, axis)  # (P, D)
@@ -151,12 +158,34 @@ def exchange_round_alltoall(
     slices, reassembly is one stable kv-sort.  Requires n_global < 2^31
     unless jax_enable_x64 is set.
     """
-    n_local = local_keys.shape[0]
+    sorted_local = sort_by_digits(local_keys, offset, width, strategy=strategy)
+    tags, flat, overflowed = exchange_round_alltoall_raw(
+        sorted_local, offset, width, axis, capacity
+    )
+    _, reassembled = lax.sort_key_val(tags, flat, is_stable=True)
+    return reassembled[: local_keys.shape[0]], overflowed
+
+
+def exchange_round_alltoall_raw(
+    sorted_local: jnp.ndarray,
+    offset: int,
+    width: int,
+    axis: str,
+    capacity: int,
+):
+    """The all-to-all exchange WITHOUT the reassembly sort: takes an
+    already digit-sorted shard, returns ``(tags, flat, overflowed)`` where
+    ``flat`` is the flattened (src-major) receive buffer and ``tags`` its
+    per-element digit with sentinel ``D`` on padding slots.  A stable sort
+    of (tags, flat) is the round's reassembly; the fused LSD loop instead
+    folds that sort into the NEXT round's local digit sort via a composite
+    key (distributed.build_distributed_sort)."""
+    n_local = sorted_local.shape[0]
     P_ = lax.axis_size(axis)
     D = 1 << width
 
-    sorted_local, send_bounds, send_count, recv_count = _round_metadata(
-        local_keys, offset, width, axis, strategy
+    _, send_bounds, send_count, recv_count = _round_metadata_sorted(
+        sorted_local, offset, width, axis
     )
     overflowed = jnp.any(send_count > capacity)
 
@@ -169,18 +198,15 @@ def exchange_round_alltoall(
 
     recv_keys = lax.all_to_all(send_keys, axis, 0, 0, tiled=False)
 
-    # Reassembly: receive order is (src chip, run order) = (i, (d, r)); a
-    # stable sort by digit yields (d, i, r) — global destination order
-    # restricted to my range.  Padding gets sentinel digit D, sorts last;
-    # valid total == n_local by construction.
+    # Receive order is (src chip, run order) = (i, (d, r)); a stable sort
+    # by digit yields (d, i, r) — global destination order restricted to
+    # my range.  Padding gets sentinel digit D, sorts last; valid total ==
+    # n_local by construction.
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (P_, capacity), 1)
     valid = k_iota < recv_count[:, None]
     recv_digits = extract_digits(recv_keys, offset, width)
     recv_digits = jnp.where(valid, recv_digits, jnp.uint32(D))
-    _, reassembled = lax.sort_key_val(
-        recv_digits.reshape(-1), recv_keys.reshape(-1), is_stable=True
-    )
-    return reassembled[:n_local], overflowed
+    return recv_digits.reshape(-1), recv_keys.reshape(-1), overflowed
 
 
 def overflow_capacities(n_local: int, nchips: int, ov_frac: float = 0.25):
@@ -215,12 +241,30 @@ def exchange_round_alltoall_overflow(
     "ragged all-to-all": the true Pallas ICI-RDMA ragged transfer is the
     remaining step — docs/PERF_NOTES.md).
     """
-    n_local = local_keys.shape[0]
+    sorted_local = sort_by_digits(local_keys, offset, width, strategy=strategy)
+    tags, flat, overflowed = exchange_round_alltoall_overflow_raw(
+        sorted_local, offset, width, axis, capacity0, capacity_ov
+    )
+    _, reassembled = lax.sort_key_val(tags, flat, is_stable=True)
+    return reassembled[: local_keys.shape[0]], overflowed
+
+
+def exchange_round_alltoall_overflow_raw(
+    sorted_local: jnp.ndarray,
+    offset: int,
+    width: int,
+    axis: str,
+    capacity0: int,
+    capacity_ov: int,
+):
+    """Two-pass exchange without the reassembly sort (see
+    :func:`exchange_round_alltoall_raw` for the contract)."""
+    n_local = sorted_local.shape[0]
     P_ = lax.axis_size(axis)
     D = 1 << width
 
-    sorted_local, send_bounds, send_count, recv_count = _round_metadata(
-        local_keys, offset, width, axis, strategy
+    _, send_bounds, send_count, recv_count = _round_metadata_sorted(
+        sorted_local, offset, width, axis
     )
     send1 = jnp.minimum(send_count, capacity0)
     send2 = send_count - send1
@@ -250,10 +294,7 @@ def exchange_round_alltoall_overflow(
     recv_keys = jnp.concatenate([recv_main, recv_over], axis=1)
     recv_digits = extract_digits(recv_keys, offset, width)
     recv_digits = jnp.where(valid, recv_digits, jnp.uint32(D))
-    _, reassembled = lax.sort_key_val(
-        recv_digits.reshape(-1), recv_keys.reshape(-1), is_stable=True
-    )
-    return reassembled[:n_local], overflowed
+    return recv_digits.reshape(-1), recv_keys.reshape(-1), overflowed
 
 
 def exchange_round_gather(

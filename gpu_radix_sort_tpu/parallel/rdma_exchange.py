@@ -48,18 +48,18 @@ from ..ops.boundaries import digit_counts_sorted
 from ..ops.radix_sort import sort_by_digits
 from ..ops.pallas_sort import LANES, _interpret
 
-RCHUNK = 16  # rows per RDMA chunk (2048 keys)
+RCHUNK = 16  # default rows per RDMA chunk (2048 keys)
 
 
-def _out_rows(n_local: int, nchips: int) -> int:
+def _out_rows(n_local: int, nchips: int, rchunk: int = RCHUNK) -> int:
     """Static receive-buffer rows: everyone's data + per-source chunk
-    rounding (phase row + ceil-to-RCHUNK)."""
-    return n_local // LANES + (RCHUNK + 1) * nchips
+    rounding (phase row + ceil-to-rchunk)."""
+    return n_local // LANES + (rchunk + 1) * nchips
 
 
 def _xchg_kernel(
     src_row, n_chunks_out, dst_row, n_in, my_ref,  # scalar prefetch
-    x_hbm, o_ref, send_sem, recv_sem, *, nchips: int,
+    x_hbm, o_ref, send_sem, recv_sem, *, nchips: int, rchunk: int,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -86,8 +86,8 @@ def _xchg_kernel(
 
         def send_one(q, _, c=c):
             pltpu.make_async_remote_copy(
-                x_hbm.at[pl.ds(src_row[c] + q * RCHUNK, RCHUNK), :],
-                o_ref.at[pl.ds(dst_row[c] + q * RCHUNK, RCHUNK), :],
+                x_hbm.at[pl.ds(src_row[c] + q * rchunk, rchunk), :],
+                o_ref.at[pl.ds(dst_row[c] + q * rchunk, rchunk), :],
                 send_sem,
                 recv_sem,
                 device_id=c,
@@ -104,8 +104,8 @@ def _xchg_kernel(
 
     def wait_send(q, _):
         pltpu.make_async_remote_copy(
-            x_hbm.at[pl.ds(0, RCHUNK), :],
-            o_ref.at[pl.ds(0, RCHUNK), :],
+            x_hbm.at[pl.ds(0, rchunk), :],
+            o_ref.at[pl.ds(0, rchunk), :],
             send_sem,
             recv_sem,
             device_id=my,
@@ -118,8 +118,8 @@ def _xchg_kernel(
     # Wait for every incoming chunk (count known from the count matrix).
     def wait_recv(q, _):
         pltpu.make_async_remote_copy(
-            x_hbm.at[pl.ds(0, RCHUNK), :],
-            o_ref.at[pl.ds(0, RCHUNK), :],
+            x_hbm.at[pl.ds(0, rchunk), :],
+            o_ref.at[pl.ds(0, rchunk), :],
             send_sem,
             recv_sem,
             device_id=my,
@@ -132,10 +132,11 @@ def _xchg_kernel(
 
 @functools.lru_cache(maxsize=None)
 def _xchg_call(src_rows_total: int, out_rows: int, nchips: int,
-               axis: str, interpret: bool, detect_races: bool = False):
+               axis: str, interpret: bool, detect_races: bool = False,
+               rchunk: int = RCHUNK):
     from jax.experimental.pallas import tpu as pltpu
 
-    kernel = functools.partial(_xchg_kernel, nchips=nchips)
+    kernel = functools.partial(_xchg_kernel, nchips=nchips, rchunk=rchunk)
     # the output varies across the exchange axis (vma needed when invoked
     # under shard_map with varying-mesh-axes checking on)
     try:
@@ -179,6 +180,7 @@ def exchange_round_rdma(
     *,
     strategy: str | None = None,
     detect_races: bool = False,
+    rchunk: int = RCHUNK,
 ):
     """One distributed digit round with the ragged RDMA exchange (inside
     shard_map).  Returns (new_local_keys, overflowed=False) — raggedness
@@ -189,14 +191,39 @@ def exchange_round_rdma(
     the counts-derived receive layout is write-disjoint across senders
     (the exchange's core safety invariant).  Goes beyond the reference,
     whose concurrency safety is by construction only (SURVEY §5)."""
-    n_local = local_keys.shape[0]
+    sorted_local = sort_by_digits(local_keys, offset, width, strategy=strategy)
+    tags, flat, overflowed = exchange_round_rdma_raw(
+        sorted_local, offset, width, axis,
+        detect_races=detect_races, rchunk=rchunk,
+    )
+    _, reassembled = lax.sort_key_val(tags, flat, is_stable=True)
+    return reassembled[: local_keys.shape[0]], overflowed
+
+
+def exchange_round_rdma_raw(
+    sorted_local: jnp.ndarray,
+    offset: int,
+    width: int,
+    axis: str,
+    *,
+    detect_races: bool = False,
+    rchunk: int = RCHUNK,
+):
+    """The RDMA exchange WITHOUT the reassembly sort: takes an already
+    digit-sorted shard, returns ``(tags, flat, overflowed)`` — ``flat``
+    the flattened receive buffer, ``tags`` its per-element digit with
+    sentinel ``D`` on slack slots (same contract as
+    exchange.exchange_round_alltoall_raw; consumed by the fused LSD loop
+    in distributed.build_distributed_sort)."""
+    n_local = sorted_local.shape[0]
     if n_local % LANES:
         raise ValueError(f"n_local {n_local} must be a multiple of {LANES}")
+    if rchunk % 8 or rchunk <= 0:
+        raise ValueError(f"rchunk must be a positive multiple of 8, got {rchunk}")
     P_ = lax.axis_size(axis)
     my = lax.axis_index(axis)
     D = 1 << width
 
-    sorted_local = sort_by_digits(local_keys, offset, width, strategy=strategy)
     counts = digit_counts_sorted(sorted_local, offset, width)  # (D,)
 
     all_counts = lax.all_gather(counts, axis)  # (P, D)
@@ -225,19 +252,20 @@ def exchange_round_rdma(
     # round up to a junk chunk per pair — ~P^2 wasted 8 KiB transfers
     # under skew).
     rows_needed = jnp.where(M > 0, (phase + M + LANES - 1) // LANES, 0)
-    chunks = (rows_needed + RCHUNK - 1) // RCHUNK  # (P, P)
-    padded_rows = chunks * RCHUNK
+    chunks = (rows_needed + rchunk - 1) // rchunk  # (P, P)
+    padded_rows = chunks * rchunk
     dst_rows = jnp.cumsum(padded_rows, axis=0) - padded_rows  # (P, P) [i, c]
 
-    out_rows = _out_rows(n_local, int(P_))
+    out_rows = _out_rows(n_local, int(P_), rchunk)
     x = jnp.concatenate(
         [
             sorted_local.reshape(-1, LANES),
-            jnp.zeros((RCHUNK, LANES), KEY_DTYPE),  # chunk overread slack
+            jnp.zeros((rchunk, LANES), KEY_DTYPE),  # chunk overread slack
         ]
     )
     buf = _xchg_call(
-        x.shape[0], out_rows, int(P_), axis, _interpret(), detect_races
+        x.shape[0], out_rows, int(P_), axis, _interpret(), detect_races,
+        rchunk,
     )(
         row0[my].astype(jnp.int32),
         chunks[my].astype(jnp.int32),
@@ -247,8 +275,9 @@ def exchange_round_rdma(
         x,
     )
 
-    # Reassembly: mask valid elements per source segment (broadcast compare
-    # over the P sources — scatter/gather-free), stable digit sort.
+    # Validity mask per source segment (broadcast compare over the P
+    # sources — scatter/gather-free); the stable digit sort over (tags,
+    # flat) is the reassembly, done by the caller or fused downstream.
     flat = buf.reshape(-1)
     pos = jnp.arange(flat.shape[0], dtype=jnp.int32)
     seg_start = dst_rows[:, my] * LANES + phase[:, my]  # (P,)
@@ -259,6 +288,5 @@ def exchange_round_rdma(
         axis=0,
     )
     digits = extract_digits(flat, offset, width)
-    digits = jnp.where(valid, digits, jnp.uint32(D))
-    _, reassembled = lax.sort_key_val(digits, flat, is_stable=True)
-    return reassembled[:n_local], jnp.bool_(False)
+    tags = jnp.where(valid, digits, jnp.uint32(D))
+    return tags, flat, jnp.bool_(False)

@@ -49,6 +49,17 @@ Validated exactly on the virtual mesh via the Mosaic interpreter,
 including under the vector-clock DMA race detector; single-chip compiled
 evidence comes from the self-loop mesh (tests_tpu/test_rdma_on_chip.py).
 Mirrors the repartition plane of the reference (distrib.go:119-158).
+
+Status after on-chip measurement (docs/BENCH_R3.md): the overlap
+MECHANISM works as designed — compiled, exact, race-free, and the
+serial-vs-overlapped gap is directly measurable via ``serial=True`` —
+but the in-kernel per-group composite bitonic costs ~113 ns/key at 2^16
+tiles (~13× the XLA digit sort), so on current hardware the round is
+compute-drowned and overlap wins ~0%.  ``exchange="rdma"`` with the
+fused round loop (distributed._fused_sort_shard) is the production
+path; this module stays as the validated overlap harness, worth
+revisiting if a near-XLA-speed in-kernel tile sort or a dominant
+exchange leg (real ICI at scale) materializes.
 """
 
 from __future__ import annotations
@@ -108,7 +119,7 @@ def _xchg_overlap_kernel(
     # input (whole shard, HBM), outputs, scratch
     x_hbm, stage_ref, o_ref, ibuf, sbuf, copy_sem, send_sem, recv_sem,
     *, nchips: int, ngroups: int, tile: int, offset: int, width: int,
-    stage_rows: int, interpret: bool,
+    stage_rows: int, interpret: bool, serial: bool,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -178,21 +189,31 @@ def _xchg_overlap_kernel(
 
         lax.fori_loop(0, n_chunks[base], send_one, 0)
 
+    def wait_send(q, _):
+        pltpu.make_async_remote_copy(
+            stage_ref.at[pl.ds(0, RCHUNK), :],
+            o_ref.at[pl.ds(0, RCHUNK), :],
+            send_sem,
+            recv_sem,
+            device_id=my,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        ).wait_send()
+        return _
+
+    if serial:
+        # Measurement mode: drain THIS group's sends before the next grid
+        # step may sort — the strict sort->send serialization the overlap
+        # design removes (probe: benchmarks/probe_overlap.py).
+        tot_g = jnp.int32(0)
+        for s in range(nchips):
+            tot_g = tot_g + n_chunks[g * nchips + jnp.int32(s)]
+        lax.fori_loop(0, tot_g, wait_send, 0)
+
     # --- last group: drain every send + wait out every receive ---------
     @pl.when(g == ngroups - 1)
     def _drain():
-        def wait_send(q, _):
-            pltpu.make_async_remote_copy(
-                stage_ref.at[pl.ds(0, RCHUNK), :],
-                o_ref.at[pl.ds(0, RCHUNK), :],
-                send_sem,
-                recv_sem,
-                device_id=my,
-                device_id_type=pltpu.DeviceIdType.LOGICAL,
-            ).wait_send()
-            return _
-
-        lax.fori_loop(0, total_out[0], wait_send, 0)
+        if not serial:
+            lax.fori_loop(0, total_out[0], wait_send, 0)
 
         def wait_recv(q, _):
             pltpu.make_async_remote_copy(
@@ -212,6 +233,7 @@ def _xchg_overlap_kernel(
 def _xchg_overlap_call(
     ngroups: int, tile: int, out_rows: int, nchips: int, offset: int,
     width: int, axis: str, interpret: bool, detect_races: bool = False,
+    serial: bool = False,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -226,6 +248,7 @@ def _xchg_overlap_call(
         width=width,
         stage_rows=stage_rows,
         interpret=interpret,
+        serial=serial,
     )
     shapes = [
         jax.ShapeDtypeStruct((ngroups * stage_rows, LANES), KEY_DTYPE),
@@ -273,12 +296,16 @@ def exchange_round_rdma_overlapped(
     *,
     tile: int = DEFAULT_TILE,
     detect_races: bool = False,
+    serial: bool = False,
 ):
     """One distributed digit round with the overlapped RDMA exchange
     (inside shard_map).  Returns (new_local_keys, overflowed=False).
 
     Requires ``width <= 8`` (see module docstring) and ``n_local`` a
-    multiple of ``tile`` (a power of two >= 1024)."""
+    multiple of ``tile`` (a power of two >= 1024).  ``serial=True`` is a
+    measurement mode that drains each group's sends before the next group
+    sorts (strict sort->send serialization) — the overlap win is the
+    measured gap between the two (benchmarks/probe_overlap.py)."""
     validate_digit_range(offset, width)
     if width > MAX_WIDTH:
         raise ValueError(
@@ -339,7 +366,7 @@ def exchange_round_rdma_overlapped(
 
     buf_stage, buf = _xchg_overlap_call(
         G, tile, out_rows, int(P_), offset, width, axis,
-        _interpret(), detect_races,
+        _interpret(), detect_races, serial,
     )(
         row8[my].reshape(-1).astype(jnp.int32),      # (G*P,)
         chunks[my].reshape(-1).astype(jnp.int32),    # (G*P,)

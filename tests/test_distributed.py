@@ -379,3 +379,58 @@ def test_rdma_overlap_rejects_wide_digits():
         distributed.build_distributed_sort(
             _mesh4(), 1 << 11, width=16, exchange="rdma_overlap"
         )
+
+
+# ---------------------------------------------------------------------------
+# Fused round loop (reassembly sort + next local sort = one composite sort)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("exchange", ["alltoall", "overflow", "rdma"])
+def test_fused_rounds_bit_identical(exchange):
+    """The fused LSD loop (default for width<=8) must produce bit-identical
+    output to the unfused loop for every eligible exchange."""
+    mesh = _mesh4() if exchange == "rdma" else _mesh()
+    nchips = 4 if exchange == "rdma" else 8
+    n = 1 << 13
+    keys = Pcg32(31).fill(n)
+    dev = jax.device_put(keys, NamedSharding(mesh, P("x")))
+    outs = []
+    for fuse in (True, False):
+        fn = distributed.build_distributed_sort(
+            mesh, n // nchips, width=8, exchange=exchange,
+            strategy="xla", fuse_rounds=fuse,
+        )
+        out, ovf = fn(dev)
+        assert int(ovf) == 0
+        outs.append(np.asarray(jax.device_get(out)))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], np.sort(keys))
+
+
+def test_fused_rounds_duplicate_stability():
+    """Heavy duplicates: the composite-key fusion must preserve the exact
+    stable LSD composition (any tie-break slip shows up here)."""
+    rng = np.random.default_rng(3)
+    n = 1 << 13
+    # every key repeated 4x, shuffled: abundant equal-key AND equal-digit
+    # ties in every round, but digit histograms stay uniform so the
+    # capacity-bounded exchange never overflows (a concentrated-digit
+    # distribution would overflow alltoall by design — that axis is
+    # covered by test_overflow_detected / the gather tests).
+    keys = np.tile(Pcg32(5).fill(n // 4), 4)
+    rng.shuffle(keys)
+    out = distributed.sort_distributed(
+        keys, mesh=_mesh(), width=8, exchange="alltoall"
+    )
+    np.testing.assert_array_equal(out, np.sort(keys))
+
+
+def test_fused_rounds_rejects_bad_combo():
+    with pytest.raises(ValueError, match="fuse_rounds"):
+        distributed.build_distributed_sort(
+            _mesh(), 1 << 10, width=16, exchange="alltoall", fuse_rounds=True
+        )
+    with pytest.raises(ValueError, match="fuse_rounds"):
+        distributed.build_distributed_sort(
+            _mesh(), 1 << 10, width=8, exchange="gather", fuse_rounds=True
+        )

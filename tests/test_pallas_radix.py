@@ -186,3 +186,39 @@ def test_metadata_run_math():
     # covers [12,16) <- run 7 alone (runs 5,6 are empty with end==12).
     np.testing.assert_array_equal(np.asarray(k0), [0, 2, 3, 7])
     np.testing.assert_array_equal(np.asarray(nfrag), [3, 2, 2, 1])
+
+
+def test_sort_key_value_by_digits_strategy_routing():
+    """The public kv digit sort routes to the binning engine when forced
+    (strategy='pallas_radix') and matches the XLA path bit-for-bit,
+    including non-uint32 4-byte payload dtypes (bitcast round-trip)."""
+    from gpu_radix_sort_tpu.ops import radix_sort as rs
+
+    n = 6000
+    keys = Pcg32().fill(n)
+    for dtype in (np.uint32, np.int32, np.float32):
+        vals = np.arange(n, dtype=np.uint32).view(dtype)
+        gk, gv = (
+            np.asarray(a)
+            for a in rs.sort_key_value_by_digits(
+                keys, vals, 8, 4, strategy="pallas_radix"
+            )
+        )
+        wk, wv = (
+            np.asarray(a)
+            for a in rs.sort_key_value_by_digits(
+                keys, vals, 8, 4, strategy="xla"
+            )
+        )
+        np.testing.assert_array_equal(gk, wk)
+        np.testing.assert_array_equal(
+            gv.view(np.uint32), wv.view(np.uint32)
+        )
+        assert gv.dtype == dtype
+
+
+def test_supported_auto_kv_gate():
+    from gpu_radix_sort_tpu.ops import pallas_radix as prm
+
+    # interpret mode (CPU tests) always refuses auto
+    assert not prm.supported_auto_kv(1 << 26, 4)
