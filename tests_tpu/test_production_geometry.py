@@ -99,3 +99,36 @@ def test_partial_sort_boundaries_on_chip():
     np.testing.assert_array_equal(
         np.asarray(b), checks.boundaries_oracle(got, 8, 8)
     )
+
+
+def _kv_digit_oracle(keys, vals, offset, width):
+    d = (keys >> np.uint32(offset)) & np.uint32((1 << width) - 1)
+    order = np.argsort(d, kind="stable")
+    return keys[order], vals[order]
+
+
+def test_binning_kv_production_geometry():
+    """kv column lanes through the binning engine at auto geometry,
+    compiled: stability proven by the payload (= original index)."""
+    n = (1 << 21) + 12345
+    keys = Pcg32().fill(n)
+    vals = np.arange(n, dtype=np.uint32)
+    gk, (gv,) = pallas_radix.binning_pass_kv_cols(keys, (vals,), 8, 4)
+    wk, wv = _kv_digit_oracle(keys, vals, 8, 4)
+    np.testing.assert_array_equal(np.asarray(gk), wk)
+    np.testing.assert_array_equal(np.asarray(gv), wv)
+
+
+def test_sort_key_value_by_digits_auto_route_on_chip():
+    """The public kv digit API auto-routes to the engine at n >= 2^22 /
+    width <= 4 (supported_auto_kv) and matches the XLA path bitwise."""
+    from gpu_radix_sort_tpu.ops import radix_sort as rs
+
+    n = 1 << 22
+    assert pallas_radix.supported_auto_kv(n, 4)
+    keys = Pcg32().fill(n)
+    vals = np.arange(n, dtype=np.uint32)
+    gk, gv = rs.sort_key_value_by_digits(keys, vals, 8, 4)
+    wk, wv = _kv_digit_oracle(keys, vals, 8, 4)
+    np.testing.assert_array_equal(np.asarray(gk), wk)
+    np.testing.assert_array_equal(np.asarray(gv), wv)
