@@ -130,7 +130,12 @@ def _sample_sort_shard(local_keys, *, axis, capacity):
     my = lax.axis_index(axis)
     n = local_keys.shape[0]
 
-    s = jnp.sort(local_keys.astype(KEY_DTYPE))
+    # Strategy-dispatched full sort: at production shard sizes (>= 2^24)
+    # this is the Pallas HBM merge engine (557M keys/s — docs/BENCH_R3.md),
+    # not lax.sort; PSRS's two keys-only sorts are its whole compute cost.
+    from ..ops.radix_sort import sort_full
+
+    s = sort_full(local_keys.astype(KEY_DTYPE))
 
     spl = _composite_splitters(s, axis=axis, order="rank_chip")
     bounds = _composite_bounds(s, *spl, my, "rank_chip")
@@ -155,7 +160,7 @@ def _sample_sort_shard(local_keys, *, axis, capacity):
     # Self-destined slice, masked in place (contiguous in the sorted shard).
     pos = jnp.arange(n, dtype=jnp.int32)
     self_buf = jnp.where((pos >= self_lo) & (pos < self_hi), s, PAD_KEY)
-    merged = jnp.sort(
+    merged = sort_full(
         jnp.concatenate([masked.reshape(-1), self_buf])
     )  # pads (max key) sort last
     total = recv_count.sum().astype(jnp.int32) + (self_hi - self_lo)
@@ -180,11 +185,16 @@ def build_sample_sort(
     nchips = mesh.shape[axis]
     capacity = default_pair_capacity(n_local, nchips, capacity_factor)
 
+    # check_vma=False: the local sorts dispatch to the Pallas merge engine
+    # at production shard sizes, and pallas_call out_shapes carry no
+    # varying-mesh-axes metadata (same caveat as exchange="rdma",
+    # rdma_exchange.py docstring).
     fn = shard_map(
         lambda k: _sample_sort_shard(k, axis=axis, capacity=capacity),
         mesh=mesh,
         in_specs=P(axis),
         out_specs=(P(axis), P(axis), P()),
+        check_vma=False,
     )
     return jax.jit(fn), capacity
 
