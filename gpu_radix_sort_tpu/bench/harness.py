@@ -155,6 +155,30 @@ def bench_key_value_sort(
                    unit="rows/s", payload_bytes=payload_bytes)
 
 
+def bench_kv_digit_sort(
+    n: int, *, offset=8, width=4, strategy=None, reps=3, trace_dir=None
+) -> BenchRecord:
+    """Single-u32-lane kv digit sort (auto-routes to the binning engine's
+    kv column lanes at engine scale — docs/BENCH_R3.md round-3 probe)."""
+    import jax
+    import numpy as np
+
+    from ..ops.radix_sort import sort_key_value_by_digits
+
+    keys = jax.device_put(Pcg32().fill(n))
+    vals = jax.device_put(np.arange(n, dtype=np.uint32))
+    fn = jax.jit(
+        lambda k, v: sort_key_value_by_digits(
+            k, v, offset, width, strategy=strategy
+        )
+    )
+    with maybe_trace(trace_dir):
+        med, mean, sd, _ = device_time(fn, (keys, vals), reps=reps)
+    return _record(f"kv_digit_sort_w{width}", n, reps, med, mean, sd,
+                   unit="pairs/s", offset=offset, width=width,
+                   strategy=strategy or "auto")
+
+
 def bench_keygen(n: int, *, reps=5) -> BenchRecord:
     gen = Pcg32()
     times = []
@@ -433,6 +457,7 @@ def run_benchmarks(
         bench_partial_sort(n1, width=8, reps=reps),
         bench_partial_sort(n1, width=16, reps=reps),
         bench_key_value_sort(n1 // 2, payload_bytes=8, reps=reps),
+        bench_kv_digit_sort(n1, width=4, reps=reps),
         # 64B payloads: grouped lane-riding sorts (ops/radix_sort.py
         # _permute_lanes_grouped) — the wide-row regime of BASELINE config 3
         bench_key_value_sort(n1 // 8, payload_bytes=64, reps=reps),

@@ -434,3 +434,34 @@ def test_fused_rounds_rejects_bad_combo():
         distributed.build_distributed_sort(
             _mesh(), 1 << 10, width=8, exchange="gather", fuse_rounds=True
         )
+
+
+def test_fused_rounds_fuzz_vs_oracle():
+    """Seeded fuzz over widths, sizes, distributions: fused alltoall LSD
+    (the production default) must equal np.sort for every draw — guards
+    the composite-key math and the sentinel/validity handling."""
+    rng = np.random.default_rng(1234)
+    mesh = _mesh()
+    for trial in range(6):
+        width = int(rng.choice([2, 4, 8]))
+        n = int(rng.integers(1 << 10, 1 << 14))
+        kind = trial % 3
+        if kind == 0:
+            keys = rng.integers(0, 1 << 32, n, dtype=np.uint32)
+        elif kind == 1:  # few distinct values, shuffled (tie storm)
+            keys = rng.choice(
+                rng.integers(0, 1 << 32, 7, dtype=np.uint32), size=n
+            )
+        else:  # runs of sorted data with full-range extremes
+            keys = np.sort(rng.integers(0, 1 << 32, n, dtype=np.uint32))
+            keys[:: max(n // 17, 1)] = 0xFFFFFFFF
+            keys[1 :: max(n // 13, 1)] = 0
+        try:
+            out = distributed.sort_distributed(
+                keys, mesh=mesh, width=width, exchange="auto"
+            )
+        except distributed.OverflowError_:
+            continue  # capacity overflow is legal for skewed draws
+        np.testing.assert_array_equal(
+            out, np.sort(keys), err_msg=f"trial={trial} width={width} n={n}"
+        )
