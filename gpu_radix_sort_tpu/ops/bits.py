@@ -32,3 +32,56 @@ def extract_digits(keys: jnp.ndarray, offset: int, width: int) -> jnp.ndarray:
     validate_digit_range(offset, width)
     keys = keys.astype(KEY_DTYPE)
     return (keys >> KEY_DTYPE(offset)) & KEY_DTYPE(digit_mask(width))
+
+
+def encode_ordered(x: jnp.ndarray) -> jnp.ndarray:
+    """Order-preserving bijection from int32 / float32 / uint32 keys onto
+    uint32, so every u32 sort engine in this package serves typed keys.
+
+    * uint32: identity.
+    * int32:  flip the sign bit (two's complement order -> unsigned order).
+    * float32: IEEE-754 totalOrder (the radix-sort classic): positive
+      floats get the sign bit set; negative floats are fully complemented
+      (reverses their order and places them below positives).  -0.0
+      orders below +0.0; positive NaNs sort above +inf and NEGATIVE NaNs
+      below -inf (totalOrder semantics — np.sort instead moves every NaN
+      last) — a TOTAL order refining the usual float comparison.
+
+    Beyond the reference (uint32-only keys, libsort.h:19); standard radix
+    technique, exposed so sort_full/sort_key_value accept typed keys.
+    """
+    import jax.numpy as jnp_
+
+    dt = x.dtype
+    if dt == jnp_.uint32:
+        return x
+    if dt == jnp_.int32:
+        return (x.view(jnp_.uint32)) ^ jnp_.uint32(0x80000000)
+    if dt == jnp_.float32:
+        u = x.view(jnp_.uint32)
+        mask = jnp_.where(
+            (u >> jnp_.uint32(31)) != 0,
+            jnp_.uint32(0xFFFFFFFF),
+            jnp_.uint32(0x80000000),
+        )
+        return u ^ mask
+    raise TypeError(f"unsupported key dtype {dt}; use uint32/int32/float32")
+
+
+def decode_ordered(u: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Inverse of :func:`encode_ordered` for the given original dtype."""
+    import jax.numpy as jnp_
+
+    dtype = jnp_.dtype(dtype)
+    if dtype == jnp_.uint32:
+        return u
+    if dtype == jnp_.int32:
+        return (u ^ jnp_.uint32(0x80000000)).view(jnp_.int32)
+    if dtype == jnp_.float32:
+        mask = jnp_.where(
+            (u >> jnp_.uint32(31)) != 0,
+            jnp_.uint32(0x80000000),
+            jnp_.uint32(0xFFFFFFFF),
+        )
+        return (u ^ mask).view(jnp_.float32)
+    raise TypeError(f"unsupported key dtype {dtype}")

@@ -161,7 +161,18 @@ def _sort_partial_xla(keys: jnp.ndarray, offset: int, width: int) -> jnp.ndarray
 # ---------------------------------------------------------------------------
 
 def sort_full(keys: jnp.ndarray, *, strategy: str | None = None) -> jnp.ndarray:
-    """Ascending full sort of uint32 keys (reference: invokers.cu:45)."""
+    """Ascending full sort of uint32 keys (reference: invokers.cu:45).
+
+    int32 / float32 keys are accepted via the order-preserving uint32
+    bijection (:func:`ops.bits.encode_ordered` — IEEE-754 total order for
+    floats, beyond the reference's uint32-only surface)."""
+    keys = jnp.asarray(keys)
+    if keys.dtype in (jnp.int32, jnp.float32):
+        from .bits import decode_ordered, encode_ordered
+
+        return decode_ordered(
+            sort_full(encode_ordered(keys), strategy=strategy), keys.dtype
+        )
     name = _resolve(strategy, keys.shape[0])
     if name == "pallas":
         from . import pallas_merge, pallas_sort
@@ -251,8 +262,17 @@ def sort_key_value(
     Stability gives deterministic payload placement for duplicate keys —
     the "stable payload placement" requirement of BASELINE.json.  ``values``
     may be any dtype/shape with leading axis == len(keys); multi-byte
-    payloads ride along via a rank gather.
+    payloads ride along via a rank gather.  int32 / float32 keys are
+    accepted via the order-preserving uint32 bijection (ops/bits.py).
     """
+    keys = jnp.asarray(keys)
+    if keys.dtype in (jnp.int32, jnp.float32):
+        from .bits import decode_ordered, encode_ordered
+
+        sk, sv = sort_key_value(
+            encode_ordered(keys), values, strategy=strategy
+        )
+        return decode_ordered(sk, keys.dtype), sv
     keys = keys.astype(KEY_DTYPE)
     if values.shape[0] != keys.shape[0]:
         raise ValueError(

@@ -238,3 +238,72 @@ def test_jit_composability():
     np.testing.assert_array_equal(
         np.asarray(b), checks.boundaries_oracle(np.asarray(s), 0, 8)
     )
+
+
+# ---------------------------------------------------------------------------
+# Typed keys (int32 / float32 via the order-preserving u32 bijection)
+# ---------------------------------------------------------------------------
+
+def test_sort_full_int32_keys():
+    from gpu_radix_sort_tpu.ops.radix_sort import sort_full
+
+    rng = np.random.default_rng(0)
+    keys = rng.integers(-(1 << 31), 1 << 31, 5000, dtype=np.int64).astype(
+        np.int32
+    )
+    keys[:5] = [np.iinfo(np.int32).min, -1, 0, 1, np.iinfo(np.int32).max]
+    got = np.asarray(sort_full(keys))
+    assert got.dtype == np.int32
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_sort_full_float32_keys():
+    from gpu_radix_sort_tpu.ops.radix_sort import sort_full
+
+    rng = np.random.default_rng(1)
+    keys = rng.standard_normal(5000).astype(np.float32)
+    keys[:6] = [np.float32(x) for x in
+                (-np.inf, np.inf, -0.0, 0.0, 1e-38, -1e38)]
+    got = np.asarray(sort_full(keys))
+    assert got.dtype == np.float32
+    np.testing.assert_array_equal(got, np.sort(keys))
+    # -0.0 must order before +0.0 (totalOrder refinement)
+    z = np.asarray(sort_full(np.array([0.0, -0.0, 0.0, -0.0], np.float32)))
+    np.testing.assert_array_equal(
+        np.signbit(z), np.array([True, True, False, False])
+    )
+
+
+def test_sort_full_float32_total_order_nans():
+    """IEEE totalOrder: -NaN < -inf <= finite <= +inf < +NaN (np.sort
+    instead moves all NaNs last — the bijection is checked directly)."""
+    from gpu_radix_sort_tpu.ops.bits import decode_ordered, encode_ordered
+    from gpu_radix_sort_tpu.ops.radix_sort import sort_full
+
+    neg_nan = np.uint32(0xFFC00000).view(np.float32)
+    pos_nan = np.float32(np.nan)
+    keys = np.array(
+        [pos_nan, 1.5, -np.inf, neg_nan, np.inf, -2.5], np.float32
+    )
+    got = np.asarray(sort_full(keys))
+    assert np.isnan(got[0]) and np.signbit(got[0])   # -NaN first
+    np.testing.assert_array_equal(got[1:5], [-np.inf, -2.5, 1.5, np.inf])
+    assert np.isnan(got[5]) and not np.signbit(got[5])  # +NaN last
+    # encode/decode round-trips bit-exactly (NaN payloads included)
+    import jax.numpy as jnp
+
+    enc = encode_ordered(jnp.asarray(keys))
+    dec = np.asarray(decode_ordered(enc, np.float32))
+    np.testing.assert_array_equal(dec.view(np.uint32), keys.view(np.uint32))
+
+
+def test_sort_key_value_typed_keys_stable():
+    from gpu_radix_sort_tpu.ops.radix_sort import sort_key_value
+
+    rng = np.random.default_rng(2)
+    keys = rng.integers(-50, 50, 4000).astype(np.int32)  # heavy duplicates
+    vals = np.arange(4000, dtype=np.uint32)
+    gk, gv = sort_key_value(keys, vals)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(gk), keys[order])
+    np.testing.assert_array_equal(np.asarray(gv), order.astype(np.uint32))
