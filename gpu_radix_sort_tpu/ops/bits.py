@@ -85,3 +85,44 @@ def decode_ordered(u: jnp.ndarray, dtype) -> jnp.ndarray:
         )
         return (u ^ mask).view(jnp_.float32)
     raise TypeError(f"unsupported key dtype {dtype}")
+
+
+def encode_ordered_np(x):
+    """numpy twin of :func:`encode_ordered` for host-side wrappers (the
+    distributed entry points encode before padding/sharding so
+    out-of-core-scale arrays never round-trip through the device)."""
+    import numpy as np
+
+    dt = x.dtype
+    if dt == np.uint32:
+        return x
+    if dt == np.int32:
+        return x.view(np.uint32) ^ np.uint32(0x80000000)
+    if dt == np.float32:
+        u = x.view(np.uint32)
+        mask = np.where(
+            (u >> np.uint32(31)) != 0,
+            np.uint32(0xFFFFFFFF),
+            np.uint32(0x80000000),
+        )
+        return u ^ mask
+    raise TypeError(f"unsupported key dtype {dt}; use uint32/int32/float32")
+
+
+def decode_ordered_np(u, dtype):
+    """numpy inverse of :func:`encode_ordered_np`."""
+    import numpy as np
+
+    dtype = np.dtype(dtype)
+    if dtype == np.uint32:
+        return u
+    if dtype == np.int32:
+        return (u ^ np.uint32(0x80000000)).view(np.int32)
+    if dtype == np.float32:
+        mask = np.where(
+            (u >> np.uint32(31)) != 0,
+            np.uint32(0x80000000),
+            np.uint32(0xFFFFFFFF),
+        )
+        return (u ^ mask).view(np.float32)
+    raise TypeError(f"unsupported key dtype {dtype}")

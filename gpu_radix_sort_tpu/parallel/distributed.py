@@ -273,7 +273,21 @@ def sort_distributed(
     Raises if the capacity-bounded exchange overflowed (use a larger
     ``capacity_factor``, the ``"gather"`` exchange, or splitter-balanced
     partitioning for heavily skewed data).
+
+    int32 / float32 keys are accepted via the order-preserving uint32
+    bijection (ops/bits.py — IEEE-754 totalOrder for floats), encoded
+    host-side before sharding.
     """
+    keys = np.asarray(keys)
+    if keys.dtype in (np.int32, np.float32):
+        from ..ops.bits import decode_ordered_np, encode_ordered_np
+
+        out = sort_distributed(
+            encode_ordered_np(keys), mesh=mesh, width=width,
+            exchange=exchange, capacity_factor=capacity_factor,
+            strategy=strategy,
+        )
+        return decode_ordered_np(out, keys.dtype)
     mesh = mesh or key_mesh()
     nchips = mesh.shape[KEY_AXIS]
     keys = np.asarray(keys, dtype=np.uint32)

@@ -421,6 +421,16 @@ def sort_distributed_sample(
     """
     from .distributed import OverflowError_
 
+    keys = np.asarray(keys)
+    if keys.dtype in (np.int32, np.float32):
+        # order-preserving u32 bijection (ops/bits.py), encoded host-side
+        from ..ops.bits import decode_ordered_np, encode_ordered_np
+
+        out = sort_distributed_sample(
+            encode_ordered_np(keys), mesh=mesh,
+            capacity_factor=capacity_factor, fallback=fallback,
+        )
+        return decode_ordered_np(out, keys.dtype)
     mesh = mesh or key_mesh()
     nchips = mesh.shape[KEY_AXIS]
     keys = np.asarray(keys, dtype=np.uint32)

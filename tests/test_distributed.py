@@ -465,3 +465,23 @@ def test_fused_rounds_fuzz_vs_oracle():
         np.testing.assert_array_equal(
             out, np.sort(keys), err_msg=f"trial={trial} width={width} n={n}"
         )
+
+
+def test_sort_distributed_typed_keys():
+    """int32 / float32 keys through the mesh LSD and PSRS paths via the
+    order-preserving u32 bijection (encoded host-side)."""
+    from gpu_radix_sort_tpu.parallel import sort_distributed_sample
+
+    rng = np.random.default_rng(4)
+    i32 = rng.integers(-(1 << 31), 1 << 31, 1 << 13, dtype=np.int64).astype(
+        np.int32
+    )
+    out = distributed.sort_distributed(i32, mesh=_mesh(), width=8)
+    assert out.dtype == np.int32
+    np.testing.assert_array_equal(out, np.sort(i32))
+
+    f32 = rng.standard_normal(1 << 13).astype(np.float32)
+    f32[:3] = [-np.inf, np.inf, -0.0]
+    out = sort_distributed_sample(f32, mesh=_mesh())
+    assert out.dtype == np.float32
+    np.testing.assert_array_equal(out, np.sort(f32))
