@@ -126,3 +126,44 @@ def decode_ordered_np(u, dtype):
         )
         return (u ^ mask).view(np.float32)
     raise TypeError(f"unsupported key dtype {dtype}")
+
+
+def encode_ordered_np64(x):
+    """Order-preserving bijection from uint64 / int64 / float64 keys onto
+    uint64 (numpy, host-side) — the 64-bit twin of
+    :func:`encode_ordered_np`; float64 gets IEEE-754 totalOrder."""
+    import numpy as np
+
+    dt = x.dtype
+    if dt == np.uint64:
+        return x
+    if dt == np.int64:
+        return x.view(np.uint64) ^ np.uint64(1 << 63)
+    if dt == np.float64:
+        u = x.view(np.uint64)
+        mask = np.where(
+            (u >> np.uint64(63)) != 0,
+            np.uint64(0xFFFFFFFFFFFFFFFF),
+            np.uint64(1 << 63),
+        )
+        return u ^ mask
+    raise TypeError(f"unsupported key dtype {dt}; use uint64/int64/float64")
+
+
+def decode_ordered_np64(u, dtype):
+    """numpy inverse of :func:`encode_ordered_np64`."""
+    import numpy as np
+
+    dtype = np.dtype(dtype)
+    if dtype == np.uint64:
+        return u
+    if dtype == np.int64:
+        return (u ^ np.uint64(1 << 63)).view(np.int64)
+    if dtype == np.float64:
+        mask = np.where(
+            (u >> np.uint64(63)) != 0,
+            np.uint64(1 << 63),
+            np.uint64(0xFFFFFFFFFFFFFFFF),
+        )
+        return (u ^ mask).view(np.float64)
+    raise TypeError(f"unsupported key dtype {dtype}")

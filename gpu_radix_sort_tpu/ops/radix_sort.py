@@ -369,3 +369,38 @@ def sort_key_value_by_digits(
         out_lanes = _permute_lanes_grouped(rank, lanes)
         return sorted_keys, _lanes_restore(out_lanes, values)
     return sorted_keys, jnp.take(values, order, axis=0)
+
+
+def sort_full_u64(keys) -> "np.ndarray":
+    """Ascending full sort of 64-bit keys (uint64 / int64 / float64, the
+    float64 order being IEEE-754 totalOrder) — beyond the reference's
+    uint32-only surface (libsort.h:19).
+
+    Host-facing: the key is split into (hi, lo) uint32 words and sorted by
+    two stable 32-bit kv passes on device (LSD composition: stable by lo
+    carrying hi, then stable by hi carrying lo — each pass is the proven
+    `lax.sort_key_val` stable machinery), then reassembled host-side.
+    Cost is ~2 stable u32 kv sorts; no jax_enable_x64 required.
+    """
+    import numpy as np
+
+    from .bits import decode_ordered_np64, encode_ordered_np64
+
+    keys = np.asarray(keys)
+    if keys.dtype not in (np.uint64, np.int64, np.float64):
+        raise TypeError(
+            f"sort_full_u64 takes uint64/int64/float64 keys, got {keys.dtype}"
+        )
+    enc = encode_ordered_np64(keys)
+    lo = (enc & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (enc >> np.uint64(32)).astype(np.uint32)
+
+    # pass 1: stable by lo, carry hi; pass 2: stable by hi, carry lo
+    slo, shi = jax.lax.sort_key_val(
+        jnp.asarray(lo), jnp.asarray(hi), is_stable=True
+    )
+    shi2, slo2 = jax.lax.sort_key_val(shi, slo, is_stable=True)
+    out = (
+        np.asarray(shi2).astype(np.uint64) << np.uint64(32)
+    ) | np.asarray(slo2).astype(np.uint64)
+    return decode_ordered_np64(out, keys.dtype)

@@ -307,3 +307,27 @@ def test_sort_key_value_typed_keys_stable():
     order = np.argsort(keys, kind="stable")
     np.testing.assert_array_equal(np.asarray(gk), keys[order])
     np.testing.assert_array_equal(np.asarray(gv), order.astype(np.uint32))
+
+
+def test_sort_full_u64_typed():
+    """64-bit keys (u64/i64/f64) via two stable 32-bit kv passes."""
+    from gpu_radix_sort_tpu.ops.radix_sort import sort_full_u64
+
+    rng = np.random.default_rng(7)
+    u64 = rng.integers(0, 1 << 64, 5000, dtype=np.uint64)
+    u64[:3] = [0, np.iinfo(np.uint64).max, 1 << 32]
+    np.testing.assert_array_equal(np.asarray(sort_full_u64(u64)), np.sort(u64))
+
+    i64 = rng.integers(-(1 << 63), 1 << 63, 5000, dtype=np.int64)
+    i64[:3] = [np.iinfo(np.int64).min, -1, np.iinfo(np.int64).max]
+    got = sort_full_u64(i64)
+    assert got.dtype == np.int64
+    np.testing.assert_array_equal(got, np.sort(i64))
+
+    f64 = rng.standard_normal(5000)
+    f64[:4] = [-np.inf, np.inf, -0.0, 0.0]
+    got = sort_full_u64(f64)
+    assert got.dtype == np.float64
+    np.testing.assert_array_equal(got, np.sort(f64))
+    z = sort_full_u64(np.array([0.0, -0.0], np.float64))
+    np.testing.assert_array_equal(np.signbit(z), [True, False])
