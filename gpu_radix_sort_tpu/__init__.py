@@ -11,6 +11,7 @@ partitioning, and a layered benchmark/profiling harness.
 
 from .ops.radix_sort import (
     sort_full,
+    sort_full_u64,
     sort_partial,
     sort_partial_counts,
     sort_by_digits,
@@ -33,6 +34,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "sort_full",
+    "sort_full_u64",
     "sort_partial",
     "sort_partial_counts",
     "sort_by_digits",
