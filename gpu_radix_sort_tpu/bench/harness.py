@@ -459,8 +459,10 @@ def run_benchmarks(
         bench_key_value_sort(n1 // 2, payload_bytes=8, reps=reps),
         bench_kv_digit_sort(n1, width=4, reps=reps),
         # 64B payloads: grouped lane-riding sorts (ops/radix_sort.py
-        # _permute_lanes_grouped) — the wide-row regime of BASELINE config 3
-        bench_key_value_sort(n1 // 8, payload_bytes=64, reps=reps),
+        # _permute_lanes_grouped) — the wide-row regime of BASELINE config 3.
+        # n1//16: 32Mi x 64B rows OOM 16 GiB HBM next to the grouped-lane
+        # sort temps (measured, docs/BENCH_R3.md); 16Mi runs at 37.9M rows/s
+        bench_key_value_sort(n1 // 16, payload_bytes=64, reps=reps),
         bench_mesh_lsd(n_local, width=8, exchange="alltoall", reps=reps),
         bench_mesh_sample(n_local, reps=reps),
         bench_mesh_kv_sample(max(n_local // 4, 1 << 12), reps=reps),

@@ -237,18 +237,18 @@ def build_distributed_sort(
                 overflow = overflow + ovf.astype(jnp.int32)
             return local_keys, lax.psum(overflow, axis)
 
-    # check_vma=False for rdma: interpret-mode pallas drops varying-axis
-    # metadata on scalar-prefetch operands (rdma_exchange.py docstring).
-    kwargs = (
-        {"check_vma": False}
-        if exchange in ("rdma", "rdma_overlap") else {}
-    )
+    # check_vma=False for every exchange: the rdma kernels drop
+    # varying-axis metadata on scalar-prefetch operands in interpret mode
+    # (rdma_exchange.py docstring), and the collective exchanges' local
+    # digit sorts dispatch to Pallas engines at production widths/sizes
+    # (width <= 4, n_local >= 2^22), whose out_shapes carry no vma either
+    # — same caveat as build_sample_sort.
     fn = shard_map(
         sort_shard,
         mesh=mesh,
         in_specs=P(axis),
         out_specs=(P(axis), P()),
-        **kwargs,
+        check_vma=False,
     )
     return jax.jit(fn)
 
