@@ -41,11 +41,18 @@ tiny (n / b_out scalars per level).  Every HBM access in the kernel is a
 streaming bandwidth.
 
 Window alignment: DMA offsets are row (128-element) granular, but merge
-splits are element-granular.  Each window is loaded with one row of slack,
-rotated in-register so the valid run starts (win1) or ends (win2) at the
-right flat position (dynamic rotation decomposed into 7 conditional static
-rolls — Mosaic supports static shifts only), PAD-masked outside the valid
-count, then truncated to exactly b_out elements.
+splits are element-granular.  Rather than rotating BOTH windows into a
+canonical frame (the round-1/2 design: 14 conditional flat-rotations per
+block), the kernel pairs the windows in win1's RAW frame: win1 is never
+rotated; win2's row-level offset is absorbed into its DMA start row and
+only the residual lane-level offset delta < 128 is applied in-register
+(7 conditional static rolls — Mosaic supports static shifts only).  After
+the half-cleaner ``min``, the b_out survivors occupy a contiguous range
+starting at the dynamic sub-row offset slack_a; a cyclic min-FOLD of the
+(b_rows + slack) buffer down to b_rows rows yields the survivor sequence
+ROTATED by slack_a — and bitonic sequences are closed under rotation, so
+the ascending merge network sorts it unchanged.  Net: half the rotation
+work per block, measured ~"one network's worth" of VPU passes before.
 
 Arrays carry ``pad_rows`` of UNWRITTEN trailing rows so windows of blocks
 near the array end never fault; every kernel masks by valid counts, so the
@@ -74,10 +81,18 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 from .bits import KEY_DTYPE
-from .pallas_sort import LANES, _bitonic_body, _compare_exchange, _interpret
+from .pallas_sort import LANES, _bitonic_body, _interpret
 from .pallas_sort import _tpu_roll
 
 PAD = np.uint32(0xFFFFFFFF)  # numpy scalar: kernels may not capture arrays
+# The merge kernel's interior runs in the SIGNED domain: x ^ 0x8000_0000
+# bitcast to int32 is an order-isomorphism from uint32, and Mosaic
+# legalizes signed vector min/max (arith.minsi) where unsigned (minui)
+# fails (docs/PERF_NOTES.md capability map) — so the half-cleaner, the
+# fold, and every network stage are single min/max ops instead of
+# compare+select pairs.  SPAD is PAD's image (int32 max, still +inf).
+SIGN = np.uint32(0x80000000)
+SPAD = np.int32(0x7FFFFFFF)
 
 TILE = 1 << 17  # stage-1 sorted run length (VMEM bitonic ceiling)
 B_OUT = 1 << 16  # output block per merge program (64K keys; measured best)
@@ -243,46 +258,6 @@ def _flat_rot_left(x, s: int, interpret: bool):
     return jnp.where(cc < LANES - s, y, y_next)
 
 
-def _align_window(win, slack, valid, interpret: bool):
-    """Rotate a window so the valid ascending run starts at flat position 0
-    and PAD-mask everything past ``valid`` elements.  ``slack`` in [0, 128)
-    and ``valid`` are dynamic scalars; the rotation decomposes into 7
-    conditional static rotations."""
-    for i in range(7):  # 2^7 = 128 > max slack
-        rotated = _flat_rot_left(win, 1 << i, interpret)
-        take = ((slack >> i) & 1) == 1
-        win = jnp.where(take, rotated, win)
-    rr = jax.lax.broadcasted_iota(jnp.int32, win.shape, 0)
-    cc = jax.lax.broadcasted_iota(jnp.int32, win.shape, 1)
-    pos = rr * LANES + cc
-    return jnp.where(pos < valid, win, PAD)
-
-
-def _flat_rot_right(x, s: int, interpret: bool):
-    """Rotate the row-major flattening of (R, 128) right by static s < 128:
-    out[flat i] = x[flat (i - s) mod n]."""
-    roll = jnp.roll if interpret else _tpu_roll
-    y = roll(x, s, 1)
-    y_prev = roll(y, 1, 0)
-    cc = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(cc >= s, y, y_prev)
-
-
-def _align_window_end(win, end_slack, valid, interpret: bool):
-    """Rotate a window so its valid *descending* run ends at the flat end
-    (rotate right by ``end_slack`` in [0, 128)), then MAX-mask everything
-    before the last ``valid`` elements."""
-    for i in range(7):
-        rotated = _flat_rot_right(win, 1 << i, interpret)
-        take = ((end_slack >> i) & 1) == 1
-        win = jnp.where(take, rotated, win)
-    rr = jax.lax.broadcasted_iota(jnp.int32, win.shape, 0)
-    cc = jax.lax.broadcasted_iota(jnp.int32, win.shape, 1)
-    pos = rr * LANES + cc
-    n_win = win.shape[0] * LANES
-    return jnp.where(pos >= n_win - valid, win, PAD)
-
-
 def _merge_kernel(
     w1_row, s1, e1, e2, s2, dflag,  # scalar prefetch (nblocks,)
     x_hbm, o_ref, sa, sb, sems, *, b_out: int, interpret: bool,
@@ -291,17 +266,25 @@ def _merge_kernel(
 
     b_rows = b_out // LANES
     w_rows = _w_rows(b_out)
-    w_elems = w_rows * LANES
     g = pl.program_id(0)
-    # win2 is a descending run read in natural order: the window must END
-    # at e2; load w_rows ending at or after e2 (clamp >= 0 is structural:
-    # every win2 region starts at or beyond run length L >= w_elems).
-    rb_start = jnp.maximum((e2[g] + LANES - 1) // LANES - w_rows, 0)
+
+    # Common-frame plan: win1 candidate k (the k-th smallest win1 element,
+    # raw position s1 + k) sits at window-flat position slack_a + k with NO
+    # rotation.  win2 candidate k is the element ranked (k - (b_out -
+    # valid_b)) from the small end of the descending source, raw position
+    # e2 - b_out + k; loading win2 from row rb and rotating LEFT by the
+    # residual lane offset delta < 128 puts it at the SAME flat position
+    # slack_a + k.  delta == (e2 - b_out - s1) mod 128 makes the division
+    # below exact; the clamp >= 0 is structural (e2 >= 2L for descending
+    # pairs and >= L for ascending ones, and L >= w_elems > b_out + 256).
+    slack_a = s1[g] - w1_row[g] * LANES
+    delta = (e2[g] - b_out - s1[g]) % LANES
+    rb = jnp.maximum((e2[g] - b_out - slack_a - delta) // LANES, 0)
     ca = pltpu.make_async_copy(
         x_hbm.at[pl.ds(w1_row[g], w_rows), :], sa, sems.at[0]
     )
     cb = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(rb_start, w_rows), :], sb, sems.at[1]
+        x_hbm.at[pl.ds(rb, w_rows), :], sb, sems.at[1]
     )
     ca.start()
     cb.start()
@@ -309,44 +292,68 @@ def _merge_kernel(
     cb.wait()
 
     # Descending output blocks run the SAME ascending network on
-    # complemented keys (load-complement + store-complement).
+    # complemented keys (load-complement + store-complement); the
+    # complement and the signed-domain bias fuse into ONE xor per window
+    # (~x ^ SIGN == x ^ ~SIGN).
     inv = dflag[g] != 0
-    wa = jnp.where(inv, ~sa[...], sa[...])
-    wb = jnp.where(inv, ~sb[...], sb[...])
+    flip = jnp.where(inv, ~SIGN, SIGN)
+    wa = jax.lax.bitcast_convert_type(sa[...] ^ flip, jnp.int32)
+    wb = jax.lax.bitcast_convert_type(sb[...] ^ flip, jnp.int32)
 
-    # win1: rotate the valid ascending run to flat position 0, PAD-mask the
-    # tail, truncate to b_out (at most b_out win1-elements reach this block).
-    slack_a = s1[g] - w1_row[g] * LANES
-    va = _align_window(
-        wa, slack_a,
-        jnp.minimum(e1[g] - s1[g], w_elems - slack_a), interpret,
-    )[:b_rows]
+    # The only in-register rotation in the kernel: win2 left by delta.
+    for i in range(7):  # 2^7 = 128 > max delta
+        rotated = _flat_rot_left(wb, 1 << i, interpret)
+        wb = jnp.where(((delta >> i) & 1) == 1, rotated, wb)
 
-    # win2: descending window; rotate so the valid run ENDS at the flat
-    # end, then MAX-mask the front (excluded larger elements) and keep the
-    # last b_out elements.
-    end_slack = rb_start * LANES + w_elems - e2[g]
-    valid_b = jnp.minimum(e2[g] - s2[g], w_elems - end_slack)
-    vb = _align_window_end(wb, end_slack, valid_b, interpret)[
-        w_rows - b_rows:
-    ]
+    rr = jax.lax.broadcasted_iota(jnp.int32, (w_rows, LANES), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (w_rows, LANES), 1)
+    pos = rr * LANES + cc
 
-    # Bitonic merge, TRUNCATED to the surviving half: [va; vb] is bitonic
-    # (ascending then descending, PAD = +inf in the masked slots), so the
-    # first compare-exchange stage (stride b_out) is elementwise min and
-    # its lower half — a bitonic sequence holding the b_out smallest keys —
-    # is all that survives.  Only log2(b_out) half-width stages remain.
-    # compare+select, NOT jnp.minimum: Mosaic does not legalize unsigned
-    # vector min (arith.minui) — caught by the on-chip suite.
-    low = jnp.where(va <= vb, va, vb)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (b_rows, LANES), 0)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (b_rows, LANES), 1)
-    idx = rr * LANES + cc
-    log_buf = (2 * b_out).bit_length() - 1  # direction bit: always ascend
-    vals = (low,)
+    # PAD-mask outside each window's candidate range [slack_a + lo, slack_a
+    # + hi).  win1: candidates [0, valid_a) valid, ascending with +inf tail.
+    # win2: candidates [b_out - valid_b, b_out) valid, +inf front then
+    # descending.  Rotation wrap-around and window slack both land outside
+    # [slack_a, slack_a + b_out) and are masked here too.
+    valid_a = jnp.minimum(e1[g] - s1[g], b_out)
+    va = jnp.where(
+        (pos >= slack_a) & (pos < slack_a + valid_a), wa, SPAD
+    )
+    valid_b = jnp.minimum(e2[g] - s2[g], b_out)
+    vb = jnp.where(
+        (pos >= slack_a + b_out - valid_b) & (pos < slack_a + b_out),
+        wb, SPAD,
+    )
+
+    # Half-cleaner: [a_0..a_{m-1}, b_0..b_{m-1}] is bitonic (ascending,
+    # +inf plateau, descending), so the positionwise min holds the b_out
+    # smallest keys of the pair and is itself bitonic.
+    low = jnp.minimum(va, vb)
+
+    # Cyclic FOLD to b_rows rows: F[k] = min(low[k], low[k + b_out]) is the
+    # survivor sequence rotated by slack_a (survivors occupy [slack_a,
+    # slack_a + b_out); everything else is PAD).  A rotated bitonic
+    # sequence is still bitonic, so the ascending network below needs no
+    # realignment.  slack_a < 128 <= b_out keeps the wrap single-turn.
+    extra = w_rows - b_rows
+    if extra <= b_rows:
+        head = jnp.minimum(low[:extra], low[b_rows:])
+        low = jnp.concatenate([head, low[extra:b_rows]], axis=0)
+    else:  # tiny-b_out test geometry: rows beyond 2*b_rows are all PAD
+        low = jnp.minimum(low[:b_rows], low[b_rows:2 * b_rows])
+
+    # Always-ascending bitonic merge, each stage a single min + max + pick:
+    # at upper positions (bit j clear) keep min with the partner at +j, at
+    # lower positions keep max with the partner at -j.
+    idx = pos[:b_rows]
+    roll = jnp.roll if interpret else _tpu_roll
+    x = low
     for j_log in range(b_out.bit_length() - 2, -1, -1):
-        vals = _compare_exchange(vals, idx, 1 << j_log, log_buf, interpret)
-    o_ref[...] = jnp.where(inv, ~vals[0], vals[0])
+        j = 1 << j_log
+        axis, amt = (1, j) if j < LANES else (0, j // LANES)
+        lo = jnp.minimum(x, roll(x, -amt, axis))
+        hi = jnp.maximum(x, roll(x, amt, axis))
+        x = jnp.where((idx & j) == 0, lo, hi)
+    o_ref[...] = jax.lax.bitcast_convert_type(x, KEY_DTYPE) ^ flip
 
 
 @functools.lru_cache(maxsize=None)

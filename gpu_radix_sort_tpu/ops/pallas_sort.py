@@ -113,11 +113,45 @@ def _bitonic_body(n: int, operands: tuple, interpret: bool):
     c = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
     idx = r * LANES + c
     log_n = n.bit_length() - 1
+    if len(operands) == 1:
+        return (_bitonic_body_keys(idx, log_n, operands[0], interpret),)
     vals = operands
     for k in range(1, log_n + 1):
         for j_log in range(k - 1, -1, -1):
             vals = _compare_exchange(vals, idx, 1 << j_log, k, interpret)
     return vals
+
+
+def _bitonic_body_keys(idx, log_n: int, x, interpret: bool):
+    """Keys-only network in the SIGNED domain with per-phase direction
+    flips: x ^ 0x8000_0000 bitcast to int32 is an order-isomorphism from
+    uint32, Mosaic legalizes signed vector min/max (arith.minsi) where
+    unsigned fails, and order-reversal is bitwise NOT — so complementing
+    the descending regions at each phase boundary (ONE fused select per
+    phase: regions where the direction bit CHANGED) makes every stage
+    pure-ascending: 2 rolls + min + max + pick, with no partner select and
+    no direction logic.  Exchange partners (index ^ j, j < 2^k) never
+    cross a 2^k direction region, so flipped regions only compare among
+    themselves.  Measured on the v5e tile sort as the successor of the
+    cmp+select formulation (docs/PERF_NOTES.md round-3 late addendum)."""
+    roll = jnp.roll if interpret else _tpu_roll
+    sign = np.uint32(0x80000000)
+    x = jax.lax.bitcast_convert_type(x ^ sign, jnp.int32)
+    desc = jnp.zeros(idx.shape, bool)
+    for k in range(1, log_n + 1):
+        # direction of phase k: descending where bit k of the index is set
+        # (the final phase has that bit beyond the index range: ascending
+        # everywhere, so the network ends fully un-complemented)
+        new_desc = (idx & (1 << k)) != 0
+        x = jnp.where(desc != new_desc, ~x, x)
+        desc = new_desc
+        for j_log in range(k - 1, -1, -1):
+            j = 1 << j_log
+            axis, amt = (1, j) if j < LANES else (0, j // LANES)
+            lo = jnp.minimum(x, roll(x, -amt, axis))
+            hi = jnp.maximum(x, roll(x, amt, axis))
+            x = jnp.where((idx & j) == 0, lo, hi)
+    return jax.lax.bitcast_convert_type(x, KEY_DTYPE) ^ sign
 
 
 def _sort_kernel(x_ref, o_ref, *, n: int, interpret: bool):
