@@ -88,9 +88,14 @@ def _pipeline_shard(keys, values, row_valid, *, axis, capacity, op, predicate):
     n = keys.shape[0]
     merge_op = "sum" if op == "count" else op
 
-    # 1+2. filter and local combine in ONE multi-key sort: primary key =
-    # dropped flag (valid rows pack to the front), secondary = key (the
-    # valid prefix comes out key-sorted, ready for segment aggregation).
+    # 1+2+3a. filter, HASH ORDER, and local combine in ONE multi-key sort:
+    # primary key = dropped flag (valid rows pack to the front), secondary =
+    # key hash, tertiary = key.  Equal keys hash equally, so the valid
+    # prefix comes out with equal keys adjacent (all group_aggregate needs)
+    # AND already in the (hash, key) order the splitter exchange wants —
+    # the round-2 design paid a second full-size multi-operand sort to
+    # reorder the combined rows by hash; fusing the hash in here deletes it
+    # (measured: the shard was 3 full sorts, this removes one whole one).
     mask = row_valid
     if predicate is not None:
         mask = mask & predicate(keys)
@@ -100,24 +105,22 @@ def _pipeline_shard(keys, values, row_valid, *, axis, capacity, op, predicate):
         # every row, padding included).
         values = jnp.ones((n,), jnp.uint32)
     dropped = (~mask).astype(jnp.uint32)
-    _, keys, values = lax.sort(
-        (dropped, keys, values), num_keys=2, is_stable=True
+    _, _, keys, values = lax.sort(
+        (dropped, hash_u32(keys), keys, values), num_keys=3, is_stable=True
     )
     kept = mask.sum(dtype=jnp.int32)
-    uniq, agg, ng = _combine_sorted(keys, values, kept, merge_op)
-    uniq, agg = _neutralize_tail(uniq, agg, ng, merge_op)
+    uniq_s, agg_s, ng = _combine_sorted(keys, values, kept, merge_op)
+    uniq_s, agg_s = _neutralize_tail(uniq_s, agg_s, ng, merge_op)
 
-    # 3. order by hash; sampled splitters; exchange -------------------------
-    # Hash sort key: valid rows by hash, padding forced last.  A stable sort
-    # keeps valid rows (indices < ng) ahead of padding on hash ties, so the
-    # first `ng` positions are exactly the valid rows even when a real hash
-    # equals HASH_PAD.  One multi-operand sort moves the rows directly —
-    # no permutation gathers (XLA gather ~100M elem/s, docs/PERF_NOTES.md).
+    # 3b. splitters over the hash order; exchange ---------------------------
+    # Combined rows are already hash-ordered (group_aggregate_sorted packs
+    # groups preserving input order); padding positions (idx >= ng) present
+    # as HASH_PAD, which sorts at/after every real hash, so the first `ng`
+    # positions are exactly the valid rows even when a real hash equals
+    # HASH_PAD.  No permutation gathers anywhere (XLA gather ~100M elem/s,
+    # docs/PERF_NOTES.md).
     idx = jnp.arange(n, dtype=jnp.int32)
-    h = jnp.where(idx < ng, hash_u32(uniq), HASH_PAD)
-    h_sorted, uniq_s, agg_s = lax.sort(
-        (h, uniq, agg), num_keys=1, is_stable=True
-    )
+    h_sorted = jnp.where(idx < ng, hash_u32(uniq_s), HASH_PAD)
 
     # Regular sampling of the VALID prefix (positions i*ng/P, tiny gather).
     # Decomposed so i*ng never materializes: at pod scale (P=256,
