@@ -258,38 +258,71 @@ def _flat_rot_left(x, s: int, interpret: bool):
     return jnp.where(cc < LANES - s, y, y_next)
 
 
+def _window_copies(i, slot, w1_row, s1, e2, x_hbm, sa, sb, sems,
+                   *, b_out: int, w_rows: int):
+    """The two window-copy descriptors for block ``i`` into buffer
+    ``slot``.
+
+    Common-frame plan: win1 candidate k (the k-th smallest win1 element,
+    raw position s1 + k) sits at window-flat position slack_a + k with NO
+    rotation.  win2 candidate k is the element ranked (k - (b_out -
+    valid_b)) from the small end of the descending source, raw position
+    e2 - b_out + k; loading win2 from row rb and rotating LEFT by the
+    residual lane offset delta < 128 puts it at the SAME flat position
+    slack_a + k.  delta == (e2 - b_out - s1) mod 128 makes the division
+    below exact; the clamp >= 0 is structural (e2 >= 2L for descending
+    pairs and >= L for ascending ones, and L >= w_elems > b_out + 256)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    slack_a = s1[i] - w1_row[i] * LANES
+    delta = (e2[i] - b_out - s1[i]) % LANES
+    rb = jnp.maximum((e2[i] - b_out - slack_a - delta) // LANES, 0)
+    ca = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(w1_row[i], w_rows), :], sa.at[slot], sems.at[slot, 0]
+    )
+    cb = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(rb, w_rows), :], sb.at[slot], sems.at[slot, 1]
+    )
+    return ca, cb
+
+
 def _merge_kernel(
     w1_row, s1, e1, e2, s2, dflag,  # scalar prefetch (nblocks,)
     x_hbm, o_ref, sa, sb, sems, *, b_out: int, interpret: bool,
 ):
-    from jax.experimental.pallas import tpu as pltpu
-
     b_rows = b_out // LANES
     w_rows = _w_rows(b_out)
     g = pl.program_id(0)
 
-    # Common-frame plan: win1 candidate k (the k-th smallest win1 element,
-    # raw position s1 + k) sits at window-flat position slack_a + k with NO
-    # rotation.  win2 candidate k is the element ranked (k - (b_out -
-    # valid_b)) from the small end of the descending source, raw position
-    # e2 - b_out + k; loading win2 from row rb and rotating LEFT by the
-    # residual lane offset delta < 128 puts it at the SAME flat position
-    # slack_a + k.  delta == (e2 - b_out - s1) mod 128 makes the division
-    # below exact; the clamp >= 0 is structural (e2 >= 2L for descending
-    # pairs and >= L for ascending ones, and L >= w_elems > b_out + 256).
-    slack_a = s1[g] - w1_row[g] * LANES
-    delta = (e2[g] - b_out - s1[g]) % LANES
-    rb = jnp.maximum((e2[g] - b_out - slack_a - delta) // LANES, 0)
-    ca = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(w1_row[g], w_rows), :], sa, sems.at[0]
+    copies = functools.partial(
+        _window_copies, w1_row=w1_row, s1=s1, e2=e2, x_hbm=x_hbm,
+        sa=sa, sb=sb, sems=sems, b_out=b_out, w_rows=w_rows,
     )
-    cb = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(rb, w_rows), :], sb, sems.at[1]
-    )
-    ca.start()
-    cb.start()
+
+    # Double-buffered window pipeline: the grid runs blocks sequentially,
+    # so waiting on a block's own just-issued DMAs exposes the full HBM
+    # round-trip every block.  Issue block g+1's windows into the other
+    # buffer BEFORE computing block g; block 0 primes its own.
+    slot = g % 2
+
+    @pl.when(g == 0)
+    def _prime():
+        ca, cb = copies(0, 0)
+        ca.start()
+        cb.start()
+
+    @pl.when(g + 1 < pl.num_programs(0))
+    def _prefetch_next():
+        ca, cb = copies(g + 1, (g + 1) % 2)
+        ca.start()
+        cb.start()
+
+    ca, cb = copies(g, slot)
     ca.wait()
     cb.wait()
+
+    slack_a = s1[g] - w1_row[g] * LANES
+    delta = (e2[g] - b_out - s1[g]) % LANES
 
     # Descending output blocks run the SAME ascending network on
     # complemented keys (load-complement + store-complement); the
@@ -297,8 +330,8 @@ def _merge_kernel(
     # (~x ^ SIGN == x ^ ~SIGN).
     inv = dflag[g] != 0
     flip = jnp.where(inv, ~SIGN, SIGN)
-    wa = jax.lax.bitcast_convert_type(sa[...] ^ flip, jnp.int32)
-    wb = jax.lax.bitcast_convert_type(sb[...] ^ flip, jnp.int32)
+    wa = jax.lax.bitcast_convert_type(sa[slot] ^ flip, jnp.int32)
+    wb = jax.lax.bitcast_convert_type(sb[slot] ^ flip, jnp.int32)
 
     # The only in-register rotation in the kernel: win2 left by delta.
     for i in range(7):  # 2^7 = 128 > max delta
@@ -371,9 +404,9 @@ def _merge_call(nblocks: int, b_out: int, in_rows: int, interpret: bool):
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((b_rows, LANES), lambda g, *_: (g, 0)),
             scratch_shapes=[
-                pltpu.VMEM((w_rows, LANES), KEY_DTYPE),
-                pltpu.VMEM((w_rows, LANES), KEY_DTYPE),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, w_rows, LANES), KEY_DTYPE),
+                pltpu.VMEM((2, w_rows, LANES), KEY_DTYPE),
+                pltpu.SemaphoreType.DMA((2, 2)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(
