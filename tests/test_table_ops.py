@@ -94,6 +94,63 @@ def test_group_aggregate_vs_numpy(op):
             assert agg[i] == group.max()
 
 
+def test_group_aggregate_uint32_sum_wraps_exactly():
+    """Integer sums ride a cumsum-difference (group_aggregate_sorted); the
+    diffs must recover group sums EXACTLY under modular wraparound, so
+    full-range uint32 values are the adversarial case."""
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 20, size=4000).astype(np.uint32)
+    vals = rng.integers(0, 1 << 32, size=4000, dtype=np.uint64).astype(
+        np.uint32
+    )
+    uniq, agg, ng = jax.jit(group_aggregate, static_argnames="op")(
+        jnp.asarray(keys), jnp.asarray(vals), op="sum"
+    )
+    uniq, agg, ng = np.asarray(uniq), np.asarray(agg), int(ng)
+    want_keys = np.unique(keys)
+    np.testing.assert_array_equal(uniq[:ng], want_keys)
+    for i, k in enumerate(want_keys):
+        want = np.uint32(vals[keys == k].astype(np.uint64).sum() % (1 << 32))
+        assert agg[i] == want, (k, agg[i], want)
+
+
+@pytest.mark.parametrize("op", ["min", "max"])
+def test_group_aggregate_minmax_uint32_full_range(op):
+    """min/max ride a segmented associative scan; uint32 values above
+    2^31 catch any accidental signed comparison."""
+    rng = np.random.default_rng(12)
+    keys = rng.integers(0, 9, size=2000).astype(np.uint32)
+    vals = rng.integers(0, 1 << 32, size=2000, dtype=np.uint64).astype(
+        np.uint32
+    )
+    uniq, agg, ng = jax.jit(group_aggregate, static_argnames="op")(
+        jnp.asarray(keys), jnp.asarray(vals), op=op
+    )
+    uniq, agg, ng = np.asarray(uniq), np.asarray(agg), int(ng)
+    for i, k in enumerate(np.unique(keys)):
+        group = vals[keys == k]
+        want = group.min() if op == "min" else group.max()
+        assert agg[i] == want
+
+
+def test_group_aggregate_sorted_accepts_hash_clustered_input():
+    """The relaxed contract the fused hash-aggregate shard relies on:
+    equal keys adjacent in ANY order (here: hash order) aggregates
+    per-run, preserving the input's run order in the output."""
+    keys = np.array([7, 1, 4, 9, 2], dtype=np.uint32)
+    order = np.argsort([int(h) for h in np.asarray(hash_u32(keys))])
+    clustered = np.repeat(keys[order], 3)
+    vals = np.arange(clustered.size, dtype=np.uint32)
+    uniq, agg, ng = group_aggregate_sorted(
+        jnp.asarray(clustered), jnp.asarray(vals), "sum"
+    )
+    uniq, agg, ng = np.asarray(uniq), np.asarray(agg), int(ng)
+    assert ng == keys.size
+    np.testing.assert_array_equal(uniq[:ng], keys[order])
+    want = vals.reshape(-1, 3).sum(axis=1, dtype=np.uint32)
+    np.testing.assert_array_equal(agg[:ng], want)
+
+
 def test_group_aggregate_sorted_requires_no_values_for_count():
     keys = np.sort(np.array([5, 5, 9, 9, 9, 11], dtype=np.uint32))
     uniq, agg, ng = group_aggregate_sorted(jnp.asarray(keys), None, "count")
