@@ -447,14 +447,20 @@ def merge_level(
 # Full sort
 # ---------------------------------------------------------------------------
 
-# Measured on TPU v5e at 64M: merge 153.6ms vs lax.sort 189ms device-true
-# (1.23x).  Below ~16M the compile cost and stage-1 fraction erode the win;
-# "auto" routes only sizes where the advantage is established.
-AUTO_MIN_N = 1 << 24
+# Measured on TPU v5e after the round-3 kernel rewrites (docs/PERF_NOTES.md
+# late addendum): merge beats lax.sort from ~1M keys up at power-of-two
+# sizes (2^20 1.14x, 2^22 1.51x, 2^23 1.93x, 64M ~2.9x).  Non-power sizes
+# pay pow2 padding (merge works on n_pad, XLA on n): route only where the
+# measured rate model (merge ~1.05ms/Mi of n_pad + fixed, XLA ~2.1ms/Mi of
+# n at >=4Mi) keeps merge at or ahead of XLA even at the worst pad factor.
+AUTO_MIN_N = 1 << 20
 
 
 def supported_auto(n: int) -> bool:
-    return n >= AUTO_MIN_N and not _interpret()
+    if _interpret() or n < AUTO_MIN_N:
+        return False
+    n_pad = max(2 * TILE, 1 << max(n - 1, 1).bit_length())
+    return n_pad >= (1 << 23) or n >= 0.8 * n_pad
 
 
 def sort_full_large(

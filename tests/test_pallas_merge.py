@@ -92,6 +92,18 @@ def test_sort_full_large_adversarial(maker):
     np.testing.assert_array_equal(out, np.sort(keys))
 
 
+def test_auto_gate_is_pad_aware(monkeypatch):
+    """The auto route must account for pow2 padding: merge sorts n_pad
+    elements while XLA sorts n, so sizes just above a power of two stay
+    on XLA until the measured rate model says merge still wins."""
+    monkeypatch.setattr(pm, "_interpret", lambda: False)
+    assert not pm.supported_auto((1 << 20) - 1)  # below floor
+    assert pm.supported_auto(1 << 20)  # exact pow2: measured 1.14x
+    assert pm.supported_auto(1_700_000)  # pad 1.23x: still ahead
+    assert not pm.supported_auto(3_000_000)  # pad 1.4x at 4M: XLA wins
+    assert pm.supported_auto(9_000_000)  # >= 2^23 padded: merge >= XLA
+
+
 def test_merge_splits_are_feasible():
     """Every split satisfies the multiset partition property: the block at
     rank r consumes the r smallest keys (in network order) of its pair —
