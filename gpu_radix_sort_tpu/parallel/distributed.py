@@ -80,51 +80,59 @@ def _exchange_raw(sorted_local, *, offset, width, axis, exchange, capacity):
     )
 
 
+def _rotr32(x, s: int):
+    """Static cyclic right-rotation of uint32 bit patterns (s mod 32)."""
+    s %= 32
+    if s == 0:
+        return x
+    return (x >> jnp.uint32(s)) | (x << jnp.uint32(32 - s))
+
+
 def _fused_sort_shard(local_keys, *, width, axis, exchange, capacity,
                       strategy, nsteps):
-    """LSD loop with round fusion: the reassembly sort of round k and the
-    local digit sort of round k+1 collapse into ONE stable composite-key
-    sort.
+    """LSD loop where every round is ONE keys-only full sort of a
+    bit-ROTATED key (the round-3 successor of the composite-kv fusion).
 
-    Receive order after round k is (src, (digit_k, rank)); the required
-    round-k order is (digit_k, src, rank); round k+1 then needs a stable
-    sort by digit_{k+1} over that order.  Stable-sort-by-b then
-    stable-sort-by-a equals one stable sort by the lexicographic pair
-    (a, b) — so sorting the receive buffer ONCE by
+    Round k's required shard order is (digit_k, bits [0, k*width), high
+    bits) — lexicographically that is exactly the plain ascending order of
+    z = rotr(x, (k+1)*width), a pure VALUE function.  Correctness by
+    induction on "each shard's multiset equals its slice of the globally
+    bits-[0,(k+1)w)-sorted array": within a digit the exchange's
+    (src, rank) receive order is then nondecreasing in the lower bits, so
+    the capacity cuts land on slices of the next invariant's order;
+    arrival order among FULLY tied values never matters because every
+    subsequent round sorts by value alone.  Two wins over the composite
+    formulation it replaces:
 
-        composite = digit_{k+1} * (D + 1) + tag_k        (tag_k = digit_k,
-                    D*(D+1) on invalid slack slots)      sentinel D)
+      * the per-round sort is keys-only, so it rides the Pallas merge
+        engine (~4x lax.sort_key_val at production shard sizes) through
+        the normal sort_full strategy dispatch;
+      * no composite bit budget — any width dividing 32 fuses, including
+        16 (the composite needed 2*width+1 <= 32).
 
-    yields round k's reassembly AND round k+1's local sort in a single
-    kv-sort.  Per round that halves the dominant cost: the unfused loop
-    pays 2 full sorts/round (measured on chip: 84ms local + ~60ms
-    reassembly at 16M — docs/BENCH_R3.md), the fused loop pays 1 (plus
-    one extra sort at each end of the loop).  Requires
-    2*width+1 <= 32 composite bits → width <= 8 given D+1 packing
-    (width 16 keeps the unfused loop).
+    Invalid slack slots are forced to 0xFFFFFFFF before each sort and the
+    first n_local survivors taken: a sentinel can only tie with a REAL
+    0xFFFFFFFF rotated key, whose value is identical, so the kept multiset
+    is exact for full-range keys (no sentinel-key semantics leak).
 
     Same invariants, same overflow semantics, same exchanges; the
     composed output is bit-identical to the unfused loop (tested)."""
-    from ..ops.radix_sort import sort_by_digits
-    from ..ops.bits import extract_digits
+    from ..ops.radix_sort import sort_full
 
     n_local = local_keys.shape[0]
     D = jnp.uint32(1 << width)
     overflow = jnp.int32(0)
+    FF = jnp.uint32(0xFFFFFFFF)
 
-    sorted_local = sort_by_digits(local_keys, 0, width, strategy=strategy)
+    zs = sort_full(_rotr32(local_keys, width), strategy=strategy)
+    sorted_local = _rotr32(zs, 32 - width)
     tags = flat = None
     for step in range(nsteps):
         if step > 0:
-            # one composite sort = reassembly(step-1) + local sort(step)
-            nd = extract_digits(flat, step * width, width)
-            comp = jnp.where(
-                tags == D,
-                D * (D + jnp.uint32(1)),
-                nd * (D + jnp.uint32(1)) + tags,
-            )
-            _, sorted_buf = lax.sort_key_val(comp, flat, is_stable=True)
-            sorted_local = sorted_buf[:n_local]
+            rot = ((step + 1) * width) % 32
+            z = jnp.where(tags == D, FF, _rotr32(flat, rot))
+            zs = sort_full(z, strategy=strategy)
+            sorted_local = _rotr32(zs, 32 - rot)[:n_local]
         tags, flat, ovf = _exchange_raw(
             sorted_local,
             offset=step * width,
@@ -134,9 +142,11 @@ def _fused_sort_shard(local_keys, *, width, axis, exchange, capacity,
             capacity=capacity,
         )
         overflow = overflow + ovf.astype(jnp.int32)
-    # final reassembly of the last round
-    _, reassembled = lax.sort_key_val(tags, flat, is_stable=True)
-    return reassembled[:n_local], lax.psum(overflow, axis)
+    # final round's rotation is the identity: a plain value sort reassembles
+    out = sort_full(
+        jnp.where(tags == D, FF, flat), strategy=strategy
+    )[:n_local]
+    return out, lax.psum(overflow, axis)
 
 
 def build_distributed_sort(
@@ -158,10 +168,10 @@ def build_distributed_sort(
     loop is the reference's ``nstep = 32/width`` structure
     (distrib.go:109-176) with the exchange fused into each round.
 
-    ``fuse_rounds`` (default auto: on for width <= 8 with the alltoall /
-    overflow / rdma exchanges) collapses each round's reassembly sort and
-    the next round's local digit sort into one composite-key sort — see
-    :func:`_fused_sort_shard`.  Output is bit-identical either way.
+    ``fuse_rounds`` (default auto: on for the alltoall / overflow / rdma
+    exchanges, any width) collapses each round's reassembly sort and the
+    next round's local digit sort into one keys-only rotated-value sort —
+    see :func:`_fused_sort_shard`.  Output is bit-identical either way.
     """
     if KEY_BITS % width or width > 16:
         # width=32 would need 2^32 digit-count bins and a sentinel digit
@@ -198,16 +208,11 @@ def build_distributed_sort(
         capacity = ex.default_capacity(n_local, nchips, capacity_factor)
     nsteps = KEY_BITS // width
     if fuse_rounds is None:
-        fuse_rounds = width <= 8 and exchange in (
-            "alltoall", "overflow", "rdma"
-        )
-    elif fuse_rounds and (
-        width > 8 or exchange not in ("alltoall", "overflow", "rdma")
-    ):
+        fuse_rounds = exchange in ("alltoall", "overflow", "rdma")
+    elif fuse_rounds and exchange not in ("alltoall", "overflow", "rdma"):
         raise ValueError(
-            "fuse_rounds requires width <= 8 (composite-key bits) and "
-            "exchange in ('alltoall', 'overflow', 'rdma'); got "
-            f"width={width}, exchange={exchange!r}"
+            "fuse_rounds requires exchange in ('alltoall', 'overflow', "
+            f"'rdma'); got exchange={exchange!r}"
         )
 
     if fuse_rounds:

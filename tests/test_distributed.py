@@ -428,12 +428,24 @@ def test_fused_rounds_duplicate_stability():
 def test_fused_rounds_rejects_bad_combo():
     with pytest.raises(ValueError, match="fuse_rounds"):
         distributed.build_distributed_sort(
-            _mesh(), 1 << 10, width=16, exchange="alltoall", fuse_rounds=True
-        )
-    with pytest.raises(ValueError, match="fuse_rounds"):
-        distributed.build_distributed_sort(
             _mesh(), 1 << 10, width=8, exchange="gather", fuse_rounds=True
         )
+
+
+def test_fused_rounds_width16():
+    """Width 16 fuses too under the rotated-value formulation (the old
+    composite key needed 2*width+1 <= 32 and rejected it)."""
+    n = 1 << 13
+    keys = Pcg32(77).fill(n)
+    dev = jax.device_put(keys, NamedSharding(_mesh(), P("x")))
+    fn = distributed.build_distributed_sort(
+        _mesh(), n // 8, width=16, exchange="alltoall",
+        strategy="xla", fuse_rounds=True, capacity_factor=1.6,
+    )
+    out, ovf = fn(dev)
+    assert int(ovf) == 0
+    np.testing.assert_array_equal(np.asarray(jax.device_get(out)),
+                                  np.sort(keys))
 
 
 def test_fused_rounds_fuzz_vs_oracle():
