@@ -131,9 +131,16 @@ def probe_stage_b_only(n, tile, b_out):
     g_run, sflat, k0, nfrag = jax.jit(
         lambda s: pr._binning_metadata(s, tile, b_out, n)
     )(starts)
+    # MUST match binning_pass's source layout: the kernel's window-anchored
+    # chunk reads start up to SRC_FRONT_ROWS before a fragment's first
+    # source row — feeding x without the front padding reads outside the
+    # allocation and FAULTS THE CHIP (~5 min recovery; hit in round 3).
     x = jnp.concatenate(
-        [sorted_t.reshape(-1, 128),
-         jnp.full((pr.CHUNK_ROWS, 128), np.uint32(0xFFFFFFFF), jnp.uint32)]
+        [jnp.full((pr.SRC_FRONT_ROWS, 128), np.uint32(0xFFFFFFFF),
+                  jnp.uint32),
+         sorted_t.reshape(-1, 128),
+         jnp.full((2 * pr.CHUNK_ROWS, 128), np.uint32(0xFFFFFFFF),
+                  jnp.uint32)]
     )
     call = pr._bin_call(n // b_out, b_out, False)
 
