@@ -334,13 +334,19 @@ def _merge_kernel(
     wb = jax.lax.bitcast_convert_type(sb[slot] ^ flip, jnp.int32)
 
     # The only in-register rotation in the kernel: win2 left by delta.
+    # Lane rotations compose cyclically, so the 7 conditional steps are
+    # LANE-ONLY (2 passes each) and a single row-carry fix at the end
+    # replaces the per-step flat-rotation carries (was 4 passes/step):
+    # out[r, c] = lane_rot[r, c] for c < 128 - delta, else lane_rot[r+1, c].
+    roll = jnp.roll if interpret else _tpu_roll
     for i in range(7):  # 2^7 = 128 > max delta
-        rotated = _flat_rot_left(wb, 1 << i, interpret)
+        rotated = roll(wb, -(1 << i), 1)
         wb = jnp.where(((delta >> i) & 1) == 1, rotated, wb)
 
     rr = jax.lax.broadcasted_iota(jnp.int32, (w_rows, LANES), 0)
     cc = jax.lax.broadcasted_iota(jnp.int32, (w_rows, LANES), 1)
     pos = rr * LANES + cc
+    wb = jnp.where(cc < LANES - delta, wb, roll(wb, -1, 0))
 
     # PAD-mask outside each window's candidate range [slack_a + lo, slack_a
     # + hi).  win1: candidates [0, valid_a) valid, ascending with +inf tail.
@@ -378,7 +384,6 @@ def _merge_kernel(
     # at upper positions (bit j clear) keep min with the partner at +j, at
     # lower positions keep max with the partner at -j.
     idx = pos[:b_rows]
-    roll = jnp.roll if interpret else _tpu_roll
     x = low
     for j_log in range(b_out.bit_length() - 2, -1, -1):
         j = 1 << j_log
