@@ -455,17 +455,26 @@ def merge_level(
 # Measured on TPU v5e after the round-3 kernel rewrites (docs/PERF_NOTES.md
 # late addendum): merge beats lax.sort from ~1M keys up at power-of-two
 # sizes (2^20 1.14x, 2^22 1.51x, 2^23 1.93x, 64M ~2.9x).  Non-power sizes
-# pay pow2 padding (merge works on n_pad, XLA on n): route only where the
-# measured rate model (merge ~1.05ms/Mi of n_pad + fixed, XLA ~2.1ms/Mi of
-# n at >=4Mi) keeps merge at or ahead of XLA even at the worst pad factor.
+# pay pow2 padding (merge works on n_pad, XLA on n): route by the measured
+# rate model — merge ~1.05ms/Mi of n_pad + ~1.5ms fixed; XLA ~1.9-2.1ms/Mi
+# up to 8Mi, rising toward ~3.3ms/Mi at 64Mi.  n >= 0.55*n_pad keeps merge
+# at or ahead through the sub-2^24 band (at the worst admitted pad the two
+# models cross); above 2^24 padded, XLA's per-key cost has risen enough
+# that merge wins or ties at ANY pad factor, so the ratio test is dropped.
 AUTO_MIN_N = 1 << 20
+
+
+def _padded_n(n: int, tile: int = TILE) -> int:
+    """The pow2 size sort_full_large actually sorts (shared so the auto
+    gate's cost model can never diverge from the real padding rule)."""
+    return max(2 * tile, 1 << max(n - 1, 1).bit_length())
 
 
 def supported_auto(n: int) -> bool:
     if _interpret() or n < AUTO_MIN_N:
         return False
-    n_pad = max(2 * TILE, 1 << max(n - 1, 1).bit_length())
-    return n_pad >= (1 << 23) or n >= 0.8 * n_pad
+    n_pad = _padded_n(n)
+    return n_pad >= (1 << 24) or n >= 0.55 * n_pad
 
 
 def sort_full_large(
@@ -477,7 +486,7 @@ def sort_full_large(
     if tile < _w_rows(b_out) * LANES:
         raise ValueError(f"tile {tile} must be >= {_w_rows(b_out) * LANES}")
     n = keys.shape[0]
-    n_pad = max(2 * tile, 1 << max(n - 1, 1).bit_length())
+    n_pad = _padded_n(n, tile)
     padded = jnp.concatenate(
         [keys.astype(KEY_DTYPE), jnp.full((n_pad - n,), PAD, KEY_DTYPE)]
     )

@@ -11,9 +11,15 @@ SPMD:
                    STRIDED BucketReader over a shared filesystem.
   * bucket metadata -> device arrays exchanged by all-gather, not JSON.
 
-After round r the global array (in shard-major linear order) is exactly the
-stable sort by bits [0, (r+1)*width) — the same invariant the reference's
-round loop maintains — so outputs match the reference sort bitwise.
+Round invariant: after round r the global array (in shard-major linear
+order) is A sort by bits [0, (r+1)*width).  The unfused loop maintains the
+reference's STABLE version of that invariant (within-digit ties keep
+arrival order, distrib.go:119-176); the default fused loop orders ties by
+value instead (rotated-value sorts, :func:`_fused_sort_shard`), which is
+keys-only-equivalent — the final output is the unique sorted multiset
+either way, bitwise equal to the reference sort.  Anything that OBSERVES
+intermediate rounds (payload variants, resume into the unfused loop) must
+use ``fuse_rounds=False`` for the stable intermediate contract.
 """
 
 from __future__ import annotations

@@ -177,9 +177,10 @@ def exchange_round_alltoall_raw(
     already digit-sorted shard, returns ``(tags, flat, overflowed)`` where
     ``flat`` is the flattened (src-major) receive buffer and ``tags`` its
     per-element digit with sentinel ``D`` on padding slots.  A stable sort
-    of (tags, flat) is the round's reassembly; the fused LSD loop instead
-    folds that sort into the NEXT round's local digit sort via a composite
-    key (distributed.build_distributed_sort)."""
+    of (tags, flat) is the round's stable reassembly (the unfused loop);
+    the default fused loop never reassembles — it sorts the receive buffer
+    directly by the NEXT round's rotated key value, using ``tags`` only to
+    mask padding slots (distributed._fused_sort_shard)."""
     n_local = sorted_local.shape[0]
     P_ = lax.axis_size(axis)
     D = 1 << width

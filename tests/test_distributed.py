@@ -382,7 +382,7 @@ def test_rdma_overlap_rejects_wide_digits():
 
 
 # ---------------------------------------------------------------------------
-# Fused round loop (reassembly sort + next local sort = one composite sort)
+# Fused round loop (reassembly + next local sort = one rotated-value sort)
 # ---------------------------------------------------------------------------
 
 @pytest.mark.parametrize("exchange", ["alltoall", "overflow", "rdma"])
@@ -408,8 +408,9 @@ def test_fused_rounds_bit_identical(exchange):
 
 
 def test_fused_rounds_duplicate_stability():
-    """Heavy duplicates: the composite-key fusion must preserve the exact
-    stable LSD composition (any tie-break slip shows up here)."""
+    """Heavy duplicates: the rotated-value fusion must still produce the
+    exact sorted multiset (equal keys are where a sentinel-tie or
+    rotation-order slip would show up)."""
     rng = np.random.default_rng(3)
     n = 1 << 13
     # every key repeated 4x, shuffled: abundant equal-key AND equal-digit
@@ -451,7 +452,7 @@ def test_fused_rounds_width16():
 def test_fused_rounds_fuzz_vs_oracle():
     """Seeded fuzz over widths, sizes, distributions: fused alltoall LSD
     (the production default) must equal np.sort for every draw — guards
-    the composite-key math and the sentinel/validity handling."""
+    the rotated-key math and the sentinel/validity handling."""
     rng = np.random.default_rng(1234)
     mesh = _mesh()
     for trial in range(6):

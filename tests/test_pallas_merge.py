@@ -100,8 +100,10 @@ def test_auto_gate_is_pad_aware(monkeypatch):
     assert not pm.supported_auto((1 << 20) - 1)  # below floor
     assert pm.supported_auto(1 << 20)  # exact pow2: measured 1.14x
     assert pm.supported_auto(1_700_000)  # pad 1.23x: still ahead
-    assert not pm.supported_auto(3_000_000)  # pad 1.4x at 4M: XLA wins
-    assert pm.supported_auto(9_000_000)  # >= 2^23 padded: merge >= XLA
+    assert pm.supported_auto(3_000_000)  # pad 1.33x at 4Mi: model says win
+    assert not pm.supported_auto(4_300_000)  # pad 1.95x at 8Mi: XLA wins
+    assert pm.supported_auto(9_000_000)  # >= 2^24 padded: merge >= XLA
+    assert pm.supported_auto((1 << 23) + 1)  # worst >=2^24 pad: parity
 
 
 def test_merge_splits_are_feasible():
