@@ -188,6 +188,24 @@ def _cmd_selftest(args) -> int:
         "storage kv sort (mem, 12B rows)",
         np.array_equal(gk, keys[order]) and np.array_equal(gp, payload[order]),
     )
+    from .parallel.pipeline import hash_aggregate_distributed
+    from .utils.keygen import generate_zipf_keys
+
+    zk = generate_zipf_keys(max(n // 8, 64), alpha=1.3, seed=2)
+    agg_k, agg_c = hash_aggregate_distributed(zk, op="count")
+    uk, uc = np.unique(zk, return_counts=True)
+    o = np.argsort(agg_k, kind="stable")
+    check(
+        "hash aggregate (Zipf count)",
+        np.array_equal(agg_k[o], uk)
+        and np.array_equal(agg_c[o].astype(np.int64), uc),
+    )
+
+    fkeys = np.float32(np.asarray(keys).view(np.int32)) / np.float32(997.0)
+    got_f = np.asarray(jax.device_get(sort_full(jax.device_put(fkeys))))
+    check("typed keys (float32 full sort)",
+          np.array_equal(got_f, np.sort(fkeys)))
+
     if args.subprocess:
         with tempfile.TemporaryDirectory() as mount:
             check(
