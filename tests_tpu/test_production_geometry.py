@@ -56,6 +56,18 @@ def test_merge_sort_duplicate_heavy():
     np.testing.assert_array_equal(got, np.sort(keys))
 
 
+def test_merge_auto_route_padded_odd_size():
+    """The pad-aware auto gate routes odd sizes with pad factor <= 1.8
+    through the merge engine (docs/PERF_NOTES.md rate model); exactness of
+    the padded path through the PUBLIC dispatch, compiled on chip.
+    3_000_000 pads to 4Mi (factor 1.33, measured 1.40x FOR merge)."""
+    n = 3_000_000
+    assert pallas_merge.supported_auto(n)
+    keys = Pcg32().fill(n)
+    got = np.asarray(gst.sort_full(keys))
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
 # ---------------------------------------------------------------------------
 # Radix binning engine (pallas_radix) at production TILE / B_OUT
 # ---------------------------------------------------------------------------
