@@ -80,11 +80,6 @@ def main():
     )(keys)
     x0 = jax.block_until_ready(x0)
 
-    def one_level(v):
-        return pm.merge_level(v, tile, b_out, n=n).reshape(-1)[:n].reshape(
-            -1, pm.LANES
-        )
-
     # keep shapes compatible for chaining: merge_level wants headroom rows
     def level_fn(v):
         out = pm.merge_level(v, tile, b_out, n=n)

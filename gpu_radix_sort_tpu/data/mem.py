@@ -14,6 +14,7 @@ factory to get the reference's process-global open-by-name behavior.
 from __future__ import annotations
 
 import threading
+import weakref
 
 from .interface import (
     ArrayFactory,
@@ -24,8 +25,17 @@ from .interface import (
     PartWriter,
 )
 
+
+class MemRegistry(dict):
+    """A name->array registry.  A dict subclass so it is weakref-able:
+    per-registry locks live in a WeakKeyDictionary side table whose entries
+    die exactly with the registry (plain ``dict`` cannot be weakly
+    referenced, which is why sharing a plain dict falls back to an in-dict
+    reserved key — see MemArrayFactory)."""
+
+
 # Opt-in process-global registry (the reference's `arrays` map, mem.go:21).
-GLOBAL_REGISTRY: dict[str, "MemDistribArray"] = {}
+GLOBAL_REGISTRY: MemRegistry = MemRegistry()
 
 
 class _MemPartReader(PartReader):
@@ -126,26 +136,38 @@ class MemArrayFactory(ArrayFactory):
     (reference: MemArrayFactory, mem.go:84-114)."""
 
     # One lock PER REGISTRY OBJECT, not per factory: two factories sharing
-    # one plain-dict registry must synchronize on the same lock or
-    # concurrent create() of the same name can silently overwrite instead
-    # of raising FileExistsError.  The lock lives INSIDE the registry dict
-    # under a reserved key (dict.setdefault is atomic in CPython), so its
-    # lifetime is exactly the registry's — no class-level id-keyed table
-    # that leaks entries and can alias a new dict onto a dead one's lock
-    # after id reuse.
+    # one registry must synchronize on the same lock or concurrent create()
+    # of the same name can silently overwrite instead of raising
+    # FileExistsError.  Weakref-able registries (MemRegistry, the default
+    # GLOBAL_REGISTRY) get their lock from a WeakKeyDictionary side table
+    # whose entry dies exactly with the registry — no pollution of the
+    # user's mapping, no id-keyed leak/alias.  A shared PLAIN dict cannot
+    # be weakly referenced, so there the lock lives inside the dict under a
+    # reserved key (dict.setdefault is atomic in CPython) and iterating
+    # such a registry will see that entry.
     _LOCK_KEY = "\x00__registry_lock__"
+    _locks: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+    _locks_guard = threading.Lock()
 
     def __init__(self, registry: dict | None = None):
         if registry is None:
             # private registry: nobody else can hold this dict, so a
             # per-factory lock suffices
-            self._registry = {}
+            self._registry = MemRegistry()
             self._lock = threading.Lock()
             return
         self._registry = registry
-        self._lock = registry.setdefault(
-            MemArrayFactory._LOCK_KEY, threading.Lock()
-        )
+        try:
+            with MemArrayFactory._locks_guard:
+                lock = MemArrayFactory._locks.get(registry)
+                if lock is None:
+                    lock = threading.Lock()
+                    MemArrayFactory._locks[registry] = lock
+            self._lock = lock
+        except TypeError:  # plain dict: not weakref-able
+            self._lock = registry.setdefault(
+                MemArrayFactory._LOCK_KEY, threading.Lock()
+            )
 
     def create(self, name: str, shape: DistribArrayShape) -> DistribArray:
         if name == MemArrayFactory._LOCK_KEY:

@@ -34,57 +34,54 @@ def extract_digits(keys: jnp.ndarray, offset: int, width: int) -> jnp.ndarray:
     return (keys >> KEY_DTYPE(offset)) & KEY_DTYPE(digit_mask(width))
 
 
+def _ordered_codec(xp, a, dtype, bits: int, decode: bool):
+    """Shared body of the encode/decode_ordered* variants: identity for
+    unsigned, sign-bit flip for two's-complement ints, IEEE-754 totalOrder
+    mask for floats (negatives fully complemented so their order reverses
+    and they land below positives; -0.0 < +0.0; positive NaNs above +inf,
+    negative NaNs below -inf).  ``xp`` is the array module (jnp or np);
+    ``bits`` selects the 32- or 64-bit family."""
+    utype = getattr(xp, f"uint{bits}")
+    itype = getattr(xp, f"int{bits}")
+    ftype = getattr(xp, f"float{bits}")
+    dtype = xp.dtype(dtype)
+    sign = utype(1 << (bits - 1))
+    ones = utype((1 << bits) - 1)
+    if dtype == utype:
+        return a
+    if dtype == itype:
+        return (a ^ sign).view(itype) if decode else a.view(utype) ^ sign
+    if dtype == ftype:
+        if decode:
+            mask = xp.where((a >> utype(bits - 1)) != 0, sign, ones)
+            return (a ^ mask).view(ftype)
+        u = a.view(utype)
+        mask = xp.where((u >> utype(bits - 1)) != 0, ones, sign)
+        return u ^ mask
+    raise TypeError(
+        f"unsupported key dtype {dtype}; use uint{bits}/int{bits}/float{bits}"
+    )
+
+
 def encode_ordered(x: jnp.ndarray) -> jnp.ndarray:
     """Order-preserving bijection from int32 / float32 / uint32 keys onto
     uint32, so every u32 sort engine in this package serves typed keys.
 
     * uint32: identity.
     * int32:  flip the sign bit (two's complement order -> unsigned order).
-    * float32: IEEE-754 totalOrder (the radix-sort classic): positive
-      floats get the sign bit set; negative floats are fully complemented
-      (reverses their order and places them below positives).  -0.0
-      orders below +0.0; positive NaNs sort above +inf and NEGATIVE NaNs
-      below -inf (totalOrder semantics — np.sort instead moves every NaN
-      last) — a TOTAL order refining the usual float comparison.
+    * float32: IEEE-754 totalOrder (the radix-sort classic) — a TOTAL
+      order refining the usual float comparison (np.sort instead moves
+      every NaN last); see _ordered_codec for the exact placement rules.
 
     Beyond the reference (uint32-only keys, libsort.h:19); standard radix
     technique, exposed so sort_full/sort_key_value accept typed keys.
     """
-    import jax.numpy as jnp_
-
-    dt = x.dtype
-    if dt == jnp_.uint32:
-        return x
-    if dt == jnp_.int32:
-        return (x.view(jnp_.uint32)) ^ jnp_.uint32(0x80000000)
-    if dt == jnp_.float32:
-        u = x.view(jnp_.uint32)
-        mask = jnp_.where(
-            (u >> jnp_.uint32(31)) != 0,
-            jnp_.uint32(0xFFFFFFFF),
-            jnp_.uint32(0x80000000),
-        )
-        return u ^ mask
-    raise TypeError(f"unsupported key dtype {dt}; use uint32/int32/float32")
+    return _ordered_codec(jnp, x, x.dtype, 32, decode=False)
 
 
 def decode_ordered(u: jnp.ndarray, dtype) -> jnp.ndarray:
     """Inverse of :func:`encode_ordered` for the given original dtype."""
-    import jax.numpy as jnp_
-
-    dtype = jnp_.dtype(dtype)
-    if dtype == jnp_.uint32:
-        return u
-    if dtype == jnp_.int32:
-        return (u ^ jnp_.uint32(0x80000000)).view(jnp_.int32)
-    if dtype == jnp_.float32:
-        mask = jnp_.where(
-            (u >> jnp_.uint32(31)) != 0,
-            jnp_.uint32(0x80000000),
-            jnp_.uint32(0xFFFFFFFF),
-        )
-        return (u ^ mask).view(jnp_.float32)
-    raise TypeError(f"unsupported key dtype {dtype}")
+    return _ordered_codec(jnp, u, dtype, 32, decode=True)
 
 
 def encode_ordered_np(x):
@@ -93,39 +90,14 @@ def encode_ordered_np(x):
     out-of-core-scale arrays never round-trip through the device)."""
     import numpy as np
 
-    dt = x.dtype
-    if dt == np.uint32:
-        return x
-    if dt == np.int32:
-        return x.view(np.uint32) ^ np.uint32(0x80000000)
-    if dt == np.float32:
-        u = x.view(np.uint32)
-        mask = np.where(
-            (u >> np.uint32(31)) != 0,
-            np.uint32(0xFFFFFFFF),
-            np.uint32(0x80000000),
-        )
-        return u ^ mask
-    raise TypeError(f"unsupported key dtype {dt}; use uint32/int32/float32")
+    return _ordered_codec(np, x, x.dtype, 32, decode=False)
 
 
 def decode_ordered_np(u, dtype):
     """numpy inverse of :func:`encode_ordered_np`."""
     import numpy as np
 
-    dtype = np.dtype(dtype)
-    if dtype == np.uint32:
-        return u
-    if dtype == np.int32:
-        return (u ^ np.uint32(0x80000000)).view(np.int32)
-    if dtype == np.float32:
-        mask = np.where(
-            (u >> np.uint32(31)) != 0,
-            np.uint32(0x80000000),
-            np.uint32(0xFFFFFFFF),
-        )
-        return (u ^ mask).view(np.float32)
-    raise TypeError(f"unsupported key dtype {dtype}")
+    return _ordered_codec(np, u, dtype, 32, decode=True)
 
 
 def encode_ordered_np64(x):
@@ -134,36 +106,11 @@ def encode_ordered_np64(x):
     :func:`encode_ordered_np`; float64 gets IEEE-754 totalOrder."""
     import numpy as np
 
-    dt = x.dtype
-    if dt == np.uint64:
-        return x
-    if dt == np.int64:
-        return x.view(np.uint64) ^ np.uint64(1 << 63)
-    if dt == np.float64:
-        u = x.view(np.uint64)
-        mask = np.where(
-            (u >> np.uint64(63)) != 0,
-            np.uint64(0xFFFFFFFFFFFFFFFF),
-            np.uint64(1 << 63),
-        )
-        return u ^ mask
-    raise TypeError(f"unsupported key dtype {dt}; use uint64/int64/float64")
+    return _ordered_codec(np, x, x.dtype, 64, decode=False)
 
 
 def decode_ordered_np64(u, dtype):
     """numpy inverse of :func:`encode_ordered_np64`."""
     import numpy as np
 
-    dtype = np.dtype(dtype)
-    if dtype == np.uint64:
-        return u
-    if dtype == np.int64:
-        return (u ^ np.uint64(1 << 63)).view(np.int64)
-    if dtype == np.float64:
-        mask = np.where(
-            (u >> np.uint64(63)) != 0,
-            np.uint64(1 << 63),
-            np.uint64(0xFFFFFFFFFFFFFFFF),
-        )
-        return (u ^ mask).view(np.float64)
-    raise TypeError(f"unsupported key dtype {dtype}")
+    return _ordered_codec(np, u, dtype, 64, decode=True)

@@ -331,6 +331,14 @@ def sort_key_value_by_digits(
         and values.dtype.itemsize == 4
         and values.dtype.kind in "uif"
     )
+    if strategy == "pallas_radix" and not kv_lane:
+        # an explicit engine request must not silently run a different
+        # engine (same contract as sort_full's strategy handling)
+        raise NotImplementedError(
+            "strategy='pallas_radix' kv lanes require a 1-D 4-byte value "
+            f"column; got shape {values.shape} dtype {values.dtype} — use "
+            "strategy='xla'/'auto' for wide or non-4-byte payloads"
+        )
     if strategy != "xla" and kv_lane:
         from . import pallas_radix
 

@@ -214,11 +214,23 @@ def build_distributed_sort(
         capacity = ex.default_capacity(n_local, nchips, capacity_factor)
     nsteps = KEY_BITS // width
     if fuse_rounds is None:
-        fuse_rounds = exchange in ("alltoall", "overflow", "rdma")
+        # strategy='pallas_radix' names the DIGIT-sort engine, which only
+        # the unfused loop's sort_by_digits rounds can honor (the fused
+        # loop's rotated-value sorts are keys-only full sorts).
+        fuse_rounds = (
+            exchange in ("alltoall", "overflow", "rdma")
+            and strategy != "pallas_radix"
+        )
     elif fuse_rounds and exchange not in ("alltoall", "overflow", "rdma"):
         raise ValueError(
             "fuse_rounds requires exchange in ('alltoall', 'overflow', "
             f"'rdma'); got exchange={exchange!r}"
+        )
+    elif fuse_rounds and strategy == "pallas_radix":
+        raise ValueError(
+            "fuse_rounds=True is incompatible with strategy='pallas_radix' "
+            "(fused rounds are keys-only full sorts; the binning engine "
+            "serves digit sorts) — drop fuse_rounds or the strategy pin"
         )
 
     if fuse_rounds:

@@ -472,12 +472,17 @@ def _sort_rounds_device_fused(
         arrs = outputs
         stats.add("rounds", 1)
 
-    # Hand _linearize_device a one-program stream rebuild (the generic
-    # per-partition walk would issue up to W * 2^width lazy slices).
-    final_stacked = stacked
-    arrs[0]._fused_linearize = lambda: _fused_linearize_jit()(
-        final_stacked, (nstep - 1) * width, width, k_ws
-    )
+    # Hand _linearize_device a ONE-SHOT one-program stream rebuild (the
+    # generic per-partition walk would issue up to W * 2^width lazy
+    # slices).  The stacked tensor lives in a pop-once cell so a caller
+    # that keeps the output arrays alive is not pinning a second full
+    # copy of the dataset in HBM after linearization consumed it.
+    cell = [stacked]
+
+    def _fused_linearize(_cell=cell, _off=(nstep - 1) * width):
+        return _fused_linearize_jit()(_cell.pop(), _off, width, k_ws)
+
+    arrs[0]._fused_linearize = _fused_linearize
     return arrs
 
 
@@ -673,7 +678,12 @@ def _linearize_device(outputs: Sequence[DistribArray]):
     if fused is not None:
         # Fused round loop: the stream is ONE jitted rebuild over the
         # carried stacked tensor + ONE D2H, not W * 2^width lazy slices.
-        return np.asarray(jax.device_get(fused()), dtype=np.uint32)
+        # The hook is one-shot (it pops its tensor cell, releasing the
+        # HBM reference) — drop it so a repeat linearization falls back
+        # to the generic per-partition path below.
+        out = np.asarray(jax.device_get(fused()), dtype=np.uint32)
+        del outputs[0]._fused_linearize
+        return out
 
     shapes = [a.get_shape() for a in outputs]
     npart = max(s.npart for s in shapes)

@@ -431,6 +431,25 @@ def test_fused_rounds_rejects_bad_combo():
         distributed.build_distributed_sort(
             _mesh(), 1 << 10, width=8, exchange="gather", fuse_rounds=True
         )
+    with pytest.raises(ValueError, match="pallas_radix"):
+        distributed.build_distributed_sort(
+            _mesh(), 1 << 10, width=8, exchange="alltoall",
+            strategy="pallas_radix", fuse_rounds=True,
+        )
+
+
+def test_strategy_pallas_radix_defaults_to_unfused():
+    """strategy='pallas_radix' names the DIGIT-sort engine: the fused
+    loop's keys-only full sorts cannot honor it, so auto fusing must back
+    off to the unfused loop (which routes sort_by_digits) instead of
+    crashing at trace time (round-3 regression)."""
+    n = 1 << 13
+    keys = Pcg32(13).fill(n)
+    out = distributed.sort_distributed(
+        keys, mesh=_mesh(), width=8, exchange="alltoall",
+        strategy="pallas_radix",
+    )
+    np.testing.assert_array_equal(out, np.sort(keys))
 
 
 def test_fused_rounds_width16():
@@ -470,8 +489,12 @@ def test_fused_rounds_fuzz_vs_oracle():
             keys[:: max(n // 17, 1)] = 0xFFFFFFFF
             keys[1 :: max(n // 13, 1)] = 0
         try:
+            # explicit alltoall: exchange="auto" resolves to the UNFUSED
+            # gather path at these sizes, which would leave the fused
+            # loop's rotated-key math entirely unexercised by this fuzz
             out = distributed.sort_distributed(
-                keys, mesh=mesh, width=width, exchange="auto"
+                keys, mesh=mesh, width=width, exchange="alltoall",
+                capacity_factor=2.0,
             )
         except distributed.OverflowError_:
             continue  # capacity overflow is legal for skewed draws

@@ -182,6 +182,20 @@ def test_sort_key_value_by_digits_wide_payload():
     np.testing.assert_array_equal(np.asarray(sp), payload[order])
 
 
+def test_kv_digits_pallas_radix_rejects_wide_payload():
+    """An explicit strategy='pallas_radix' must not silently run the XLA
+    path when the payload is not a single 4-byte lane (round-3
+    regression; mirrors sort_full's explicit-strategy contract)."""
+    import pytest
+
+    from gpu_radix_sort_tpu.ops.radix_sort import sort_key_value_by_digits
+
+    keys = Pcg32(3).fill(4096)
+    wide = np.zeros((4096, 4), dtype=np.uint32)
+    with pytest.raises(NotImplementedError, match="pallas_radix"):
+        sort_key_value_by_digits(keys, wide, 0, 4, strategy="pallas_radix")
+
+
 def test_sort_key_value_unaligned_payload_gather_fallback():
     # Payload widths not bitcastable to u32 lanes keep the permutation
     # gather; exactness (not speed) is the contract there.
