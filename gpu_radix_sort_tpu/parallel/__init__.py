@@ -4,6 +4,7 @@ from .mesh import key_mesh, host_chip_mesh  # noqa: F401
 from .sample_sort import (  # noqa: F401
     build_sample_sort,
     build_sample_sort_kv,
+    sort_distributed_64,
     sort_distributed_sample,
     sort_key_value_distributed,
 )

@@ -266,10 +266,13 @@ def hash_aggregate_distributed(
     predicate=None,
     mesh=None,
     capacity_factor: float = 2.0,
+    key_order: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Host-facing distributed group-by: returns (group_keys, aggregates)
-    over all chips, keys in hash order (NOT key order; sort the pair arrays
-    by key if key order matters).  Raises on exchange overflow."""
+    over all chips — in hash order by default (the exchange's natural
+    order), or ascending key order with ``key_order=True`` (one stable
+    pair sort over the DISTINCT keys only, matching ``np.unique``'s
+    presentation).  Raises on exchange overflow."""
     from .distributed import OverflowError_
 
     mesh = mesh or key_mesh()
@@ -317,4 +320,10 @@ def hash_aggregate_distributed(
         out_a.append(ga[c * rows_per_chip : c * rows_per_chip + cnt])
     out_keys = np.concatenate(out_k) if out_k else np.empty(0, np.uint32)
     out_aggs = np.concatenate(out_a) if out_a else np.empty(0, values.dtype)
+    if key_order:
+        # Group keys are globally DISTINCT (each chip owns disjoint hash
+        # ranges and aggregates per unique key), so an unstable argsort is
+        # exact; the sort runs over ngroups rows, not the n input rows.
+        order = np.argsort(out_keys)
+        out_keys, out_aggs = out_keys[order], out_aggs[order]
     return out_keys, out_aggs

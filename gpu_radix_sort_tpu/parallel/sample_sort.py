@@ -401,6 +401,52 @@ def sort_key_value_distributed(
     return out_k, out_v
 
 
+def sort_distributed_64(
+    keys,
+    *,
+    mesh=None,
+    capacity_factor: float = 1.5,
+) -> np.ndarray:
+    """Host-facing distributed full sort of 64-bit keys (uint64 / int64 /
+    float64, the float64 order being IEEE-754 totalOrder) — beyond the
+    reference's uint32-only C ABI (libsort/libsort.h:19), and the
+    distributed twin of :func:`ops.radix_sort.sort_full_u64`.
+
+    Composition: the encoded u64 key splits into (hi, lo) uint32 words and
+    runs TWO distributed stable kv sample sorts — an LSD radix over two
+    32-bit digits (stable by lo carrying hi, then stable by hi carrying
+    lo).  Each stage is the proven stable kv PSRS machinery
+    (:func:`sort_key_value_distributed`: composite splitters, diagonal
+    bypass, stable reassembly), so duplicate-heavy and adversarial
+    distributions inherit that path's guarantees.  No jax_enable_x64
+    required — 64-bit words exist only host-side.
+    """
+    keys = np.asarray(keys)
+    if keys.dtype not in (np.uint64, np.int64, np.float64):
+        raise TypeError(
+            f"sort_distributed_64 takes uint64/int64/float64 keys, got "
+            f"{keys.dtype}"
+        )
+    from ..ops.bits import decode_ordered_np64, encode_ordered_np64
+
+    enc = encode_ordered_np64(keys)
+    lo = (enc & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (enc >> np.uint64(32)).astype(np.uint32)
+
+    # pass 1: stable by lo, carry hi; pass 2: stable by hi, carry lo.
+    slo, shi = sort_key_value_distributed(
+        lo, hi[:, None], mesh=mesh, capacity_factor=capacity_factor
+    )
+    shi2, slo2 = sort_key_value_distributed(
+        shi.reshape(-1), slo[:, None], mesh=mesh,
+        capacity_factor=capacity_factor,
+    )
+    out = (shi2.astype(np.uint64) << np.uint64(32)) | slo2.reshape(-1).astype(
+        np.uint64
+    )
+    return decode_ordered_np64(out, keys.dtype)
+
+
 def sort_distributed_sample(
     keys,
     *,

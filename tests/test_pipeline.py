@@ -138,3 +138,25 @@ def test_predicate_cache_none_and_unhashable():
     vals = np.ones(64, dtype=np.float32)
     gk, ga = hash_aggregate_distributed(keys, vals, op="sum", predicate=pred)
     assert gk.size == ga.size
+
+
+def test_key_order_flag_matches_np_unique():
+    """key_order=True returns groups in ascending key order directly
+    (VERDICT r3 item 10) — np.unique IS the oracle, no re-sort."""
+    keys = generate_zipf_keys(30_000, alpha=1.3, seed=9)
+    gk, ga = hash_aggregate_distributed(keys, op="count", key_order=True)
+    want_k, want_c = np.unique(keys, return_counts=True)
+    np.testing.assert_array_equal(gk, want_k)
+    np.testing.assert_array_equal(ga.astype(np.int64), want_c)
+
+
+def test_key_order_flag_value_op():
+    rng = np.random.default_rng(31)
+    keys = rng.integers(0, 300, size=5_000).astype(np.uint32)
+    vals = rng.integers(0, 1 << 20, size=5_000).astype(np.uint32)
+    gk, ga = hash_aggregate_distributed(
+        keys, vals, op="max", key_order=True
+    )
+    want_k, want_a = _oracle(keys, vals, "max")
+    np.testing.assert_array_equal(gk, want_k)
+    np.testing.assert_array_equal(ga, want_a)

@@ -164,3 +164,50 @@ def test_kv_sample_sort_rejects_bad_payload():
         sample_sort.sort_key_value_distributed(
             keys, np.zeros((32, 4), np.uint8)
         )
+
+
+@pytest.mark.parametrize("n", [1111, 1 << 13])
+def test_sort_distributed_64_u64(n):
+    """Distributed 64-bit keys: two stable kv PSRS stages (lo then hi) —
+    exceeds the reference's uint32-only C ABI (libsort.h:19)."""
+    rng = np.random.default_rng(19)
+    keys = rng.integers(0, 1 << 64, n, dtype=np.uint64)
+    keys[:4] = [0, np.iinfo(np.uint64).max, 1 << 32, (1 << 32) - 1]
+    out = sample_sort.sort_distributed_64(keys, mesh=_mesh())
+    assert out.dtype == np.uint64
+    np.testing.assert_array_equal(out, np.sort(keys))
+
+
+def test_sort_distributed_64_hi_collisions():
+    """Many keys sharing hi words: the lo-pass ordering must survive the
+    stable hi-pass (the LSD composition's whole point)."""
+    rng = np.random.default_rng(3)
+    hi = rng.integers(0, 4, 4096, dtype=np.uint64) << np.uint64(32)
+    lo = rng.integers(0, 1 << 32, 4096, dtype=np.uint64)
+    keys = hi | lo
+    out = sample_sort.sort_distributed_64(keys, mesh=_mesh())
+    np.testing.assert_array_equal(out, np.sort(keys))
+
+
+def test_sort_distributed_64_typed():
+    rng = np.random.default_rng(23)
+    i64 = rng.integers(-(1 << 63), 1 << 63, 3000, dtype=np.int64)
+    i64[:3] = [np.iinfo(np.int64).min, -1, np.iinfo(np.int64).max]
+    got = sample_sort.sort_distributed_64(i64, mesh=_mesh())
+    assert got.dtype == np.int64
+    np.testing.assert_array_equal(got, np.sort(i64))
+
+    f64 = rng.standard_normal(3000)
+    f64[:4] = [-np.inf, np.inf, -0.0, 0.0]
+    got = sample_sort.sort_distributed_64(f64, mesh=_mesh())
+    assert got.dtype == np.float64
+    np.testing.assert_array_equal(got, np.sort(f64))
+    z = sample_sort.sort_distributed_64(
+        np.array([0.0, -0.0], np.float64), mesh=_mesh()
+    )
+    np.testing.assert_array_equal(np.signbit(z), [True, False])
+
+
+def test_sort_distributed_64_rejects_narrow():
+    with pytest.raises(TypeError, match="uint64"):
+        sample_sort.sort_distributed_64(np.zeros(8, np.uint32))
