@@ -34,6 +34,21 @@ def extract_digits(keys: jnp.ndarray, offset: int, width: int) -> jnp.ndarray:
     return (keys >> KEY_DTYPE(offset)) & KEY_DTYPE(digit_mask(width))
 
 
+def rotr32(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Static cyclic right-rotation of uint32 bit patterns (s mod 32).
+
+    The rotated-value LSD trick's workhorse (docs/PERF_NOTES.md): round k's
+    required order (digit_k, bits [0, k*w), high bits) is the plain
+    ascending order of rotr(x, (k+1)*w) — a pure value function, so the
+    round sort is keys-only.  Shared by the mesh loop
+    (parallel/distributed._fused_sort_shard) and the storage plane's fused
+    device rounds (parallel/storage_sort._fused_round_jit)."""
+    s %= 32
+    if s == 0:
+        return x
+    return (x >> jnp.uint32(s)) | (x << jnp.uint32(32 - s))
+
+
 def _ordered_codec(xp, a, dtype, bits: int, decode: bool):
     """Shared body of the encode/decode_ordered* variants: identity for
     unsigned, sign-bit flip for two's-complement ints, IEEE-754 totalOrder

@@ -477,6 +477,65 @@ def supported_auto(n: int) -> bool:
     return n_pad >= (1 << 24) or n >= 0.55 * n_pad
 
 
+def min_presorted_run(b_out: int = B_OUT) -> int:
+    """Smallest legal run length for :func:`merge_presorted` at this
+    ``b_out`` (power of two, >= the window-containment bound and one
+    lane row)."""
+    need = max(_w_rows(b_out) * LANES, LANES, 2 * b_out)
+    return 1 << (need - 1).bit_length()
+
+
+def merge_presorted(
+    x: jnp.ndarray, run: int, *, b_out: int = B_OUT
+) -> jnp.ndarray:
+    """Ascending sort of a 1-D uint32 array that is the concatenation of
+    equal-length ASCENDING sorted runs — merge levels ONLY, skipping
+    stage-1 and every level below log2(run).
+
+    The PSRS presorted-runs reassembly lever (VERDICT r3 item 7): the
+    sample-sort reassembly buffer's P received segments are each already
+    sorted and the bypassed self slice is one rotation away from sorted,
+    so a full sort_full re-pays ~60% of its work (docs/PERF_NOTES.md).
+    Here odd runs are direction-reversed in XLA (one vectorized pass) to
+    satisfy the merge levels' alternating-direction input convention, then
+    the standard level kernels take over.
+
+    Requirements: ``run`` and ``n/run`` powers of two, ``run >=``
+    :func:`min_presorted_run` (window containment).  Keys-only and exact
+    for duplicate-laden inputs (same multiset-partition argument as
+    :func:`merge_level`)."""
+    n = x.shape[0]
+    if n % run or run < LANES:
+        raise ValueError(f"n={n} not a multiple of run={run} (>= {LANES})")
+    nruns = n // run
+    if run & (run - 1) or nruns & (nruns - 1):
+        raise ValueError(f"run={run} and n/run={nruns} must be powers of 2")
+    if run < min_presorted_run(b_out):
+        raise ValueError(
+            f"run={run} below the window-containment bound "
+            f"{min_presorted_run(b_out)} for b_out={b_out}"
+        )
+    x = x.astype(KEY_DTYPE)
+    if nruns == 1:
+        return x
+    # Direction-alternate: odd runs reversed (values DESCEND), so every
+    # adjacent pair is bitonic in place for the first level.
+    x2 = x.reshape(nruns, run)
+    odd = (jnp.arange(nruns, dtype=jnp.int32) & 1)[:, None] == 1
+    x2 = jnp.where(odd, x2[:, ::-1], x2)
+    x2d = jnp.concatenate(
+        [
+            x2.reshape(-1, LANES),
+            jnp.full((_pad_rows(b_out), LANES), PAD, KEY_DTYPE),
+        ]
+    )
+    L = run
+    while L < n:
+        x2d = merge_level(x2d, L, b_out, n=n)
+        L *= 2
+    return x2d.reshape(-1)[:n]
+
+
 def sort_full_large(
     keys: jnp.ndarray, *, tile: int = TILE, b_out: int = B_OUT
 ) -> jnp.ndarray:

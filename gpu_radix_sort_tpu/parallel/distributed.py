@@ -32,7 +32,7 @@ from jax import lax
 from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..ops.bits import KEY_BITS
+from ..ops.bits import KEY_BITS, rotr32 as _rotr32
 from . import exchange as ex
 from .mesh import KEY_AXIS, key_mesh
 
@@ -86,12 +86,6 @@ def _exchange_raw(sorted_local, *, offset, width, axis, exchange, capacity):
     )
 
 
-def _rotr32(x, s: int):
-    """Static cyclic right-rotation of uint32 bit patterns (s mod 32)."""
-    s %= 32
-    if s == 0:
-        return x
-    return (x >> jnp.uint32(s)) | (x << jnp.uint32(32 - s))
 
 
 def _fused_sort_shard(local_keys, *, width, axis, exchange, capacity,

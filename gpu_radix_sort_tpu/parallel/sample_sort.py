@@ -125,7 +125,58 @@ def _self_bypass(send_bounds, send_count, my, P_, capacity):
     return offdiag, overflowed, send_bounds[my], send_bounds[my + 1]
 
 
-def _sample_sort_shard(local_keys, *, axis, capacity):
+def _merge_reassembly(masked, s, self_lo, self_hi, *, capacity, b_out):
+    """Reassembly over PRESORTED runs (VERDICT r3 item 7b): the P received
+    segments are each ascending (contiguous slices of the senders' sorted
+    shards, PAD-masked at the tail) and the bypassed self slice is one
+    rotation away from ascending — so instead of a full sort_full (stage-1
+    network + all merge levels) the buffer runs merge levels from
+    L = run-capacity upward only (ops/pallas_merge.merge_presorted).
+
+    Exactness: keys-only buffer, pads are 0xFFFFFFFF and tie only with
+    identical real keys (the sanctioned sentinel exception); the merge
+    levels' multiset-partition argument covers duplicates.  Measured win
+    deferred to multi-chip hardware (the P=1 self-loop reassembly is
+    degenerate) — this path is flag-gated behind
+    ``build_sample_sort(reassembly="merge")``."""
+    from ..ops import pallas_merge
+
+    P_, n = masked.shape[0], s.shape[0]
+    if b_out is None:
+        b_out = pallas_merge.B_OUT
+    run = max(
+        1 << (max(capacity, 1) - 1).bit_length(),
+        pallas_merge.min_presorted_run(b_out),
+    )
+    # received rows: pad capacity -> run with PAD (rows stay ascending)
+    rows_rx = jnp.concatenate(
+        [masked, jnp.full((P_, run - capacity), PAD_KEY, KEY_DTYPE)], axis=1
+    )
+    # self slice: rotate its valid window to the front (ascending), pad to
+    # a whole number of runs (chunks of a sorted run are sorted runs)
+    self_sorted = jnp.roll(s, -self_lo)
+    count_self = self_hi - self_lo
+    pos = jnp.arange(n, dtype=jnp.int32)
+    self_sorted = jnp.where(pos < count_self, self_sorted, PAD_KEY)
+    n_self = -(-n // run) * run
+    self_rows = jnp.concatenate(
+        [self_sorted, jnp.full((n_self - n,), PAD_KEY, KEY_DTYPE)]
+    )
+    m = P_ + n_self // run
+    m_pad = 1 << (m - 1).bit_length()
+    runs = jnp.concatenate([
+        rows_rx.reshape(-1),
+        self_rows,
+        jnp.full(((m_pad - m) * run,), PAD_KEY, KEY_DTYPE),
+    ])
+    merged = pallas_merge.merge_presorted(runs, run, b_out=b_out)
+    # the valid elements are the smallest `total` of the buffer; everything
+    # the slice drops is PAD or a displaced identical-value real max key
+    return merged[: P_ * capacity + n]
+
+
+def _sample_sort_shard(local_keys, *, axis, capacity, reassembly="sort",
+                       merge_b_out=None):
     P_ = lax.axis_size(axis)
     my = lax.axis_index(axis)
     n = local_keys.shape[0]
@@ -157,12 +208,18 @@ def _sample_sort_shard(local_keys, *, axis, capacity):
     recv = lax.all_to_all(send_keys, axis, 0, 0, tiled=False)
     k_iota = lax.broadcasted_iota(jnp.int32, (P_, capacity), 1)
     masked = jnp.where(k_iota < recv_count[:, None], recv, PAD_KEY)
-    # Self-destined slice, masked in place (contiguous in the sorted shard).
-    pos = jnp.arange(n, dtype=jnp.int32)
-    self_buf = jnp.where((pos >= self_lo) & (pos < self_hi), s, PAD_KEY)
-    merged = sort_full(
-        jnp.concatenate([masked.reshape(-1), self_buf])
-    )  # pads (max key) sort last
+    if reassembly == "merge":
+        merged = _merge_reassembly(
+            masked, s, self_lo, self_hi, capacity=capacity,
+            b_out=merge_b_out,
+        )
+    else:
+        # Self-destined slice, masked in place (contiguous in the shard).
+        pos = jnp.arange(n, dtype=jnp.int32)
+        self_buf = jnp.where((pos >= self_lo) & (pos < self_hi), s, PAD_KEY)
+        merged = sort_full(
+            jnp.concatenate([masked.reshape(-1), self_buf])
+        )  # pads (max key) sort last
     total = recv_count.sum().astype(jnp.int32) + (self_hi - self_lo)
     return merged, total[None], lax.psum(overflowed.astype(jnp.int32), axis)
 
@@ -173,6 +230,8 @@ def build_sample_sort(
     *,
     capacity_factor: float = 1.5,
     axis: str = KEY_AXIS,
+    reassembly: str = "sort",
+    merge_b_out: int | None = None,
 ):
     """Compile-ready distributed sample sort over ``axis``.
 
@@ -181,7 +240,17 @@ def build_sample_sort(
     has global shape (P * (P*C + n_local),) (per-chip sorted buffer incl.
     padding and the bypassed self slice), shard_counts (P,) gives each
     chip's valid prefix length.
+
+    ``reassembly``: "sort" (default — one sort_full over the received
+    buffer) or "merge" (flag-gated presorted-runs lever: merge levels only
+    over the already-sorted received segments, see
+    :func:`_merge_reassembly`).  ``merge_b_out`` overrides the merge
+    levels' output-block size (tests use tiny geometries).
     """
+    if reassembly not in ("sort", "merge"):
+        raise ValueError(
+            f"reassembly must be 'sort' or 'merge', got {reassembly!r}"
+        )
     nchips = mesh.shape[axis]
     capacity = default_pair_capacity(n_local, nchips, capacity_factor)
 
@@ -190,7 +259,10 @@ def build_sample_sort(
     # varying-mesh-axes metadata (same caveat as exchange="rdma",
     # rdma_exchange.py docstring).
     fn = shard_map(
-        lambda k: _sample_sort_shard(k, axis=axis, capacity=capacity),
+        lambda k: _sample_sort_shard(
+            k, axis=axis, capacity=capacity, reassembly=reassembly,
+            merge_b_out=merge_b_out,
+        ),
         mesh=mesh,
         in_specs=P(axis),
         out_specs=(P(axis), P(axis), P()),
@@ -453,6 +525,8 @@ def sort_distributed_sample(
     mesh=None,
     capacity_factor: float = 1.5,
     fallback: bool = True,
+    reassembly: str = "sort",
+    merge_b_out: int | None = None,
 ) -> np.ndarray:
     """Host-facing distributed sample sort: pads, shards, runs PSRS,
     linearizes the ragged sorted shards exactly.
@@ -475,6 +549,7 @@ def sort_distributed_sample(
         out = sort_distributed_sample(
             encode_ordered_np(keys), mesh=mesh,
             capacity_factor=capacity_factor, fallback=fallback,
+            reassembly=reassembly, merge_b_out=merge_b_out,
         )
         return decode_ordered_np(out, keys.dtype)
     mesh = mesh or key_mesh()
@@ -488,7 +563,8 @@ def sort_distributed_sample(
 
     dev = jax.device_put(padded, NamedSharding(mesh, P(KEY_AXIS)))
     fn, capacity = build_sample_sort(
-        mesh, n_local, capacity_factor=capacity_factor
+        mesh, n_local, capacity_factor=capacity_factor,
+        reassembly=reassembly, merge_b_out=merge_b_out,
     )
     shards, counts, overflow = fn(dev)
     if int(overflow) > 0:

@@ -139,3 +139,38 @@ def test_merge_splits_are_feasible():
         rest = np.concatenate([w1[a:], w2[: TILE - b]])
         if taken.size and rest.size:
             assert taken.max() <= rest.min()
+
+
+@pytest.mark.parametrize("nruns", [2, 4, 8])
+def test_merge_presorted_exact(nruns):
+    """Presorted-runs merge (levels only, no stage-1): exact vs np.sort
+    (VERDICT r3 item 7b)."""
+    run = 2048  # == min_presorted_run(B_OUT=512) at the test geometry
+    assert pm.min_presorted_run(B_OUT) == 2048
+    rng = np.random.default_rng(nruns)
+    x = rng.integers(0, 1 << 32, nruns * run, dtype=np.uint32)
+    runs = np.sort(x.reshape(nruns, run), axis=1).reshape(-1)
+    got = np.asarray(pm.merge_presorted(jnp.asarray(runs), run, b_out=B_OUT))
+    np.testing.assert_array_equal(got, np.sort(x))
+
+
+def test_merge_presorted_duplicates_and_max_keys():
+    run = 2048
+    rng = np.random.default_rng(3)
+    x = rng.choice(
+        np.array([0, 5, 5, 7, 0xFFFFFFFF], dtype=np.uint32), size=4 * run
+    )
+    runs = np.sort(x.reshape(4, run), axis=1).reshape(-1)
+    got = np.asarray(pm.merge_presorted(jnp.asarray(runs), run, b_out=B_OUT))
+    np.testing.assert_array_equal(got, np.sort(x))
+
+
+def test_merge_presorted_single_run_and_rejects():
+    run = 2048
+    x = np.sort(np.arange(run, dtype=np.uint32))
+    got = np.asarray(pm.merge_presorted(jnp.asarray(x), run, b_out=B_OUT))
+    np.testing.assert_array_equal(got, x)
+    with pytest.raises(ValueError, match="powers of 2"):
+        pm.merge_presorted(jnp.zeros(3 * run, np.uint32), run, b_out=B_OUT)
+    with pytest.raises(ValueError, match="window-containment"):
+        pm.merge_presorted(jnp.zeros(2048, np.uint32), 1024, b_out=B_OUT)
