@@ -100,21 +100,32 @@ def _compare_exchange(vals: tuple, idx, j: int, k: int, interpret: bool):
     return tuple(out)
 
 
-def _bitonic_body(n: int, operands: tuple, interpret: bool):
+def _bitonic_body(n: int, operands: tuple, interpret: bool,
+                  start_log: int = 0):
     """CONTRACT: with len(operands) > 1 the comparison keys (operands[0])
     MUST be pairwise unique.  On a tie both sides of a compare-exchange
     resolve to the same source row (_compare_exchange's min-side keeps self,
     max-side takes partner — same row), duplicating one secondary payload
     and dropping the other.  Current multi-operand callers satisfy this by
     construction (composite digit|position keys in sort_by_digits); any new
-    caller must too, or make tie selection index-symmetric first."""
+    caller must too, or make tie selection index-symmetric first.
+
+    ``start_log`` (keys-only): skip phases 1..start_log — the input must
+    already hold runs of 2^start_log keys each sorted ascending in the
+    STORED (complemented-by-run-parity) domain; see _bitonic_body_keys."""
     R = n // LANES
     r = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
     idx = r * LANES + c
     log_n = n.bit_length() - 1
     if len(operands) == 1:
-        return (_bitonic_body_keys(idx, log_n, operands[0], interpret),)
+        return (
+            _bitonic_body_keys(
+                idx, log_n, operands[0], interpret, start_log
+            ),
+        )
+    if start_log:
+        raise NotImplementedError("start_log is keys-only")
     vals = operands
     for k in range(1, log_n + 1):
         for j_log in range(k - 1, -1, -1):
@@ -122,7 +133,8 @@ def _bitonic_body(n: int, operands: tuple, interpret: bool):
     return vals
 
 
-def _bitonic_body_keys(idx, log_n: int, x, interpret: bool):
+def _bitonic_body_keys(idx, log_n: int, x, interpret: bool,
+                       start_log: int = 0):
     """Keys-only network in the SIGNED domain with per-phase direction
     flips: x ^ 0x8000_0000 bitcast to int32 is an order-isomorphism from
     uint32, Mosaic legalizes signed vector min/max (arith.minsi) where

@@ -131,10 +131,12 @@ def test_bench_storage_has_phase_stats():
 
     rec = bench_storage_distrib(1 << 12, SortConfig(backend="device"), reps=1)
     phases = rec.extra["phases"]
-    # fused device loop: per-round device program / counts readback /
-    # metadata commit, one sample per round (VERDICT r3 item 2 breakdown)
+    # deep-fused device loop (no checkpointing): ONE program for all 4
+    # rounds — one sample per phase per rep, rounds counted via counter
+    # (VERDICT r3 item 2 breakdown)
     for phase in ("round_sort", "counts_d2h", "commit"):
-        assert phases[phase]["n"] == 4
+        assert phases[phase]["n"] == 1
+    assert phases["counter:rounds"] == 4.0
 
 
 def test_cli_analyze_single_and_compare(tmp_path, capsys):
