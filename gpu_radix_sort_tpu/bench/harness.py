@@ -122,6 +122,27 @@ def bench_full_sort(n: int, *, strategy=None, reps=5, trace_dir=None) -> BenchRe
                    strategy=strategy or "auto")
 
 
+def bench_full_sort_u64(n: int, *, reps=3) -> BenchRecord:
+    """64-bit keys (hi/lo split, two stable 32-bit kv passes) — the
+    single-chip rate row for the beyond-reference u64 surface (the device
+    compute is timed; host codec/split excluded like every other row)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = __import__("numpy").random.default_rng(64)
+    enc = rng.integers(0, 1 << 64, n, dtype="uint64")
+    lo = jax.device_put(jnp.asarray((enc & 0xFFFFFFFF).astype("uint32")))
+    hi = jax.device_put(jnp.asarray((enc >> 64 - 32).astype("uint32")))
+
+    @jax.jit
+    def fn(lo, hi):
+        slo, shi = jax.lax.sort_key_val(lo, hi, is_stable=True)
+        return jax.lax.sort_key_val(shi, slo, is_stable=True)
+
+    med, mean, sd, _ = device_time(fn, (lo, hi), reps=reps)
+    return _record("full_sort_u64", n, reps, med, mean, sd)
+
+
 def bench_partial_sort(
     n: int, *, offset=0, width=8, strategy=None, reps=5, trace_dir=None
 ) -> BenchRecord:
@@ -467,8 +488,13 @@ def run_benchmarks(
         bench_mesh_sample(n_local, reps=reps),
         bench_mesh_kv_sample(max(n_local // 4, 1 << 12), reps=reps),
         bench_hash_aggregate(n_local, op="count", reps=reps),
+        bench_full_sort_u64(min(n1, 16 << 20), reps=reps),
         bench_storage_distrib(
             min(n1, 1 << 20), SortConfig(backend="mem"), reps=1
+        ),
+        bench_storage_distrib(
+            min(n1, 8 << 20), SortConfig(backend="device", nworker=2),
+            reps=1,
         ),
         bench_storage_kv(
             min(n1 // 8, 1 << 19), SortConfig(backend="mem"),

@@ -145,12 +145,23 @@ def _bitonic_body_keys(idx, log_n: int, x, interpret: bool,
     no direction logic.  Exchange partners (index ^ j, j < 2^k) never
     cross a 2^k direction region, so flipped regions only compare among
     themselves.  Measured on the v5e tile sort as the successor of the
-    cmp+select formulation (docs/PERF_NOTES.md round-3 late addendum)."""
+    cmp+select formulation (docs/PERF_NOTES.md round-3 late addendum).
+
+    ``start_log`` > 0 enters the network at phase start_log+1, skipping
+    the first sum(1..start_log) stages: the input must hold runs of
+    2^start_log keys, each ascending in the STORED domain — i.e. run r
+    sorted ascending on (value ^ (bit start_log of flat index ? ~0 : 0)),
+    exactly the state the skipped phases would have left.  Callers
+    produce it with one batched XLA row sort of the parity-complemented
+    values (pallas_merge.sort_tiles(prerun=...))."""
     roll = jnp.roll if interpret else _tpu_roll
     sign = np.uint32(0x80000000)
     x = jax.lax.bitcast_convert_type(x ^ sign, jnp.int32)
-    desc = jnp.zeros(idx.shape, bool)
-    for k in range(1, log_n + 1):
+    if start_log > 0:
+        desc = (idx & (1 << start_log)) != 0
+    else:
+        desc = jnp.zeros(idx.shape, bool)
+    for k in range(start_log + 1, log_n + 1):
         # direction of phase k: descending where bit k of the index is set
         # (the final phase has that bit beyond the index range: ascending
         # everywhere, so the network ends fully un-complemented)

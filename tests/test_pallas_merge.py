@@ -174,3 +174,37 @@ def test_merge_presorted_single_run_and_rejects():
         pm.merge_presorted(jnp.zeros(3 * run, np.uint32), run, b_out=B_OUT)
     with pytest.raises(ValueError, match="window-containment"):
         pm.merge_presorted(jnp.zeros(2048, np.uint32), 1024, b_out=B_OUT)
+
+
+@pytest.mark.parametrize("prerun", [128, 256, 512])
+def test_sort_full_large_rowstage(prerun):
+    """stage1_rows: batched XLA row sort replaces the first network phases
+    (VERDICT r3 item 1 stage-1 candidate) — bit-exact vs np.sort."""
+    keys = Pcg32(state=77).fill(3 * TILE + 100)  # odd n: pow2 padding
+    got = np.asarray(
+        pm.sort_full_large(
+            jnp.asarray(keys), tile=TILE, b_out=B_OUT, stage1_rows=prerun
+        )
+    )
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_sort_full_large_rowstage_duplicates():
+    rng = np.random.default_rng(5)
+    keys = rng.choice(
+        np.array([0, 2, 2, 0xFFFFFFFF], dtype=np.uint32), size=2 * TILE
+    )
+    got = np.asarray(
+        pm.sort_full_large(
+            jnp.asarray(keys), tile=TILE, b_out=B_OUT, stage1_rows=256
+        )
+    )
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_sort_tiles_prerun_rejects():
+    x = jnp.zeros((TILE // 128, 128), jnp.uint32)
+    with pytest.raises(ValueError, match="prerun"):
+        pm.sort_tiles(x, TILE, prerun=100)  # not a power of 2
+    with pytest.raises(ValueError, match="prerun"):
+        pm.sort_tiles(x, TILE, prerun=TILE)  # not < tile

@@ -1,0 +1,150 @@
+"""Seeded randomized dispatch fuzz on the REAL chip (VERDICT r3 item 5).
+
+Permanent suite form of the round-3 one-off 17-case sweep
+(docs/BENCH_R3.md "Extended on-chip dispatch fuzz"): sizes spanning all
+three sort_full routes (VMEM bitonic window, XLA, pad-aware merge engine
+incl. the worst admitted pad band) x adversarial distributions, each case
+asserting BOTH exactness and the resolved route — the round-3 review
+caught a fuzz that exercised the wrong path while passing (commit
+81f0f0e), so the route pin is load-bearing, not decoration.
+
+Reference analog: the odd-size corner tests of the reference
+(localTest/tests.cpp:88-161) — non-power-of-2 sizes chosen to hit
+partial-block corners.
+
+Time budget: the suite asserts its own wall clock stays under BUDGET_S
+(compiles included) so it cannot silently grow past the ~3-minute target.
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+_T0 = time.monotonic()
+BUDGET_S = 420  # soft ceiling incl. Mosaic compiles on a cold process
+
+SEED = 0xD15BA7C4
+
+
+def _expected_route(n: int) -> str:
+    """The dispatch-window SPEC, restated independently of the registry
+    (ops/radix_sort._resolve) so silent window drift fails loudly:
+    VMEM bitonic on [2^15, 2^17]; merge engine from 2^20 when the pow2
+    pad is amortized (ratio >= 0.55 below 2^24-padded, any ratio above);
+    XLA otherwise.  Mirrors docs/PERF_NOTES.md dispatch-window probes."""
+    if (1 << 15) <= n <= (1 << 17):
+        return "pallas"
+    n_pad = max(1 << 18, 1 << max(n - 1, 1).bit_length())
+    if n >= (1 << 20) and (n_pad >= (1 << 24) or n >= 0.55 * n_pad):
+        return "pallas_merge"
+    return "xla"
+
+
+def _gen(dist: str, n: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    if dist == "uniform":
+        return rng.integers(0, 1 << 32, n, dtype=np.uint32)
+    if dist == "dupes":
+        return rng.choice(
+            np.array([0, 3, 3, 9, 0xFFFFFFFF], dtype=np.uint32), size=n
+        )
+    if dist == "presorted":
+        return np.sort(rng.integers(0, 1 << 32, n, dtype=np.uint32))
+    if dist == "reversed":
+        return np.sort(rng.integers(0, 1 << 32, n, dtype=np.uint32))[::-1]
+    if dist == "zipf":
+        from gpu_radix_sort_tpu.utils.keygen import generate_zipf_keys
+
+        return generate_zipf_keys(n, alpha=1.3, seed=seed & 0x7FFFFFFF)
+    if dist == "allmax":
+        return np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    raise ValueError(dist)
+
+
+# Pinned matrix: every route, both pad-band edges, adversarial values.
+PINNED = [
+    (1000, "xla", "uniform"),
+    (4099, "xla", "dupes"),            # reference odd-size corner
+    (1 << 15, "pallas", "reversed"),
+    (100_000, "pallas", "zipf"),
+    (1 << 17, "pallas", "presorted"),
+    ((1 << 17) + 1, "xla", "dupes"),   # just past the VMEM window
+    (1 << 20, "pallas_merge", "uniform"),
+    (1_200_000, "pallas_merge", "allmax"),  # worst admitted pad (0.57)
+    (1_100_000, "xla", "uniform"),          # pad-rejected band (0.52)
+    ((1 << 21) - 77, "pallas_merge", "zipf"),
+]
+
+# Seeded random extension: sizes drawn across the dispatch range (capped
+# at 2^21 so fresh merge geometries stay bounded), distribution cycled.
+_rng = np.random.default_rng(SEED)
+_DISTS = ["uniform", "dupes", "presorted", "reversed", "zipf", "allmax"]
+RANDOM = [
+    (int(n), _expected_route(int(n)), _DISTS[i % len(_DISTS)])
+    for i, n in enumerate(
+        _rng.integers(1 << 10, 1 << 21, size=6, dtype=np.int64)
+    )
+]
+
+
+@pytest.mark.parametrize("n,route,dist", PINNED + RANDOM)
+def test_sort_full_dispatch_fuzz(n, route, dist):
+    import gpu_radix_sort_tpu as gst
+    from gpu_radix_sort_tpu.ops.radix_sort import _resolve
+
+    resolved = _resolve(None, n, "full")
+    assert resolved == route, (
+        f"n={n}: dispatch window moved — resolved {resolved!r}, "
+        f"spec says {route!r}"
+    )
+    keys = _gen(dist, n, SEED ^ n)
+    got = np.asarray(gst.sort_full(keys))
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_sort_partial_boundaries_fuzz():
+    """sort_partial through the public dispatch at an odd size, boundary
+    contract vs the host-oracle (reference gpuPartial semantics incl.
+    empty-bucket backfill, sort.cu:367-394)."""
+    import jax
+    import gpu_radix_sort_tpu as gst
+    from gpu_radix_sort_tpu.utils import checks
+
+    rng = np.random.default_rng(SEED + 1)
+    for offset, width in ((0, 8), (8, 4), (24, 8), (16, 16)):
+        n = int(rng.integers(1 << 12, 1 << 20))
+        keys = rng.integers(0, 1 << 32, n, dtype=np.uint32)
+        s, b = gst.sort_partial(keys, offset, width)
+        s, b = np.asarray(jax.device_get(s)), np.asarray(jax.device_get(b))
+        assert checks.check_partial(s, keys, offset, width)
+        want_b = checks.boundaries_oracle(s, offset, width)
+        np.testing.assert_array_equal(b, want_b)
+
+
+def test_sort_kv_stable_fuzz():
+    """Stable kv through the public dispatch with duplicate-heavy keys."""
+    import jax
+    import gpu_radix_sort_tpu as gst
+
+    rng = np.random.default_rng(SEED + 2)
+    n = (1 << 20) + 13
+    keys = rng.choice(
+        np.array([1, 1, 7, 7, 7, 0xFFFFFFFF], dtype=np.uint32), size=n
+    )
+    vals = np.arange(n, dtype=np.uint32)
+    gk, gv = gst.sort_key_value(keys, vals)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(jax.device_get(gk)), keys[order])
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(gv)), vals[order]
+    )
+
+
+def test_zz_time_budget():
+    """Runs last (name-ordered): the whole suite must fit the budget."""
+    elapsed = time.monotonic() - _T0
+    assert elapsed < BUDGET_S, (
+        f"dispatch fuzz took {elapsed:.0f}s > {BUDGET_S}s budget — trim "
+        "the matrix or precompile geometries"
+    )
