@@ -421,26 +421,52 @@ def bench(n=64 * 1024 * 1024, L=TILE, b_out=B_OUT, rep=8):
               flush=True)
         return out
 
-    # exactness first (rep includes recomputation of the same output)
-    out4 = timeit("merge4(L)", lambda: merge4_level(x, splits, L, n, b_out,
-                                                    rep=rep), 1)
+    # exactness first (rep includes recomputation of the same output).
+    # Splits are passed as DEVICE arrays and the calls are jitted: an
+    # un-jitted _merge_splits pays ~19 sequential lazy gathers x 27 ms
+    # relay latency (measured 560 ms/level — a harness artifact, not
+    # kernel time).  Production runs splits inside the sort's jit.
+    s4 = [jax.device_put(jnp.asarray(splits[k])) for k in
+          ("w1_row", "s1", "e1", "e2", "s2",
+           "w3_row", "s3", "e3", "e4", "s4", "dflag")]
+    call4 = jax.jit(functools.partial(
+        _merge4_call(n // b_out, b_out, rep, _interpret())))
+    out4 = timeit("merge4(L)", lambda: call4(*s4, x), 1)
     got = np.asarray(out4.reshape(-1)[:n])
     want = _expected_4l(keys, n, L)
     assert np.array_equal(got, want), "merge4 WRONG at 64M"
     print("merge4 exact at 64M", flush=True)
 
     # production 2-way pair in the same REP harness: level L then level 2L
-    out2a = timeit("merge2(L)", lambda: merge2_level_rep(x, L, n, b_out,
-                                                         rep=rep), 1)
+    sp2a = [jax.device_put(s) for s in jax.jit(
+        lambda v: _merge_splits(v, L, n, b_out))(x)]
+    call2 = _merge2_call(n // b_out, b_out, rep, _interpret())
+    call2j = jax.jit(call2)
+    out2a = timeit("merge2(L)", lambda: call2j(*sp2a, x), 1)
     x2 = out2a
-    out2b = timeit("merge2(2L)", lambda: merge2_level_rep(x2, 2 * L, n,
-                                                          b_out, rep=rep), 1)
+    sp2b = [jax.device_put(s) for s in jax.jit(
+        lambda v: _merge_splits(v, 2 * L, n, b_out))(x2)]
+    out2b = timeit("merge2(2L)", lambda: call2j(*sp2b, x2), 1)
     got2 = np.asarray(out2b.reshape(-1)[:n])
     assert np.array_equal(got2, want), "merge2 pair WRONG at 64M"
     results["merge2_pair"] = results["merge2(L)"] + results["merge2(2L)"]
     results["ratio_4way_vs_2way_pair"] = (
         results["merge4(L)"] / results["merge2_pair"]
     )
+    # splits cost, amortized honestly: time ONE jitted split computation
+    # per side (runs per level in production)
+    for tag, fn in (
+        ("splits2", jax.jit(lambda v: _merge_splits(v, L, n, b_out))),
+    ):
+        jax.block_until_ready(fn(x))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(x))
+            ts.append(time.perf_counter() - t0)
+        results[tag] = statistics.median(ts)
+        print(f"{tag}: {results[tag]*1e3:.2f} ms (jitted, incl dispatch)",
+              flush=True)
     print(json.dumps({k: round(v * 1e3, 3) if "ratio" not in k else round(v, 3)
                       for k, v in results.items()}))
 
