@@ -549,14 +549,21 @@ def sort_by_digits_large(
 #     Mosaic compile; kept on XLA (negative result recorded in PERF_NOTES)
 AUTO_MIN_N = 1 << 22
 AUTO_MAX_WIDTH = 4
+# Keys-only width 5-8 as two subpasses: re-probed at the reference's
+# 256Mi workload with the round-4 kernel vintage
+# (benchmarks/probe_w8_256.py): engine 253.4M keys/s vs XLA 239.9M
+# (1.06x, exact vs the stable oracle on device) — the round-2 64M
+# parity verdict flips at large n, so w5-8 routes here from 2^27 up.
+# (The larger-T fragment lever measured NEGATIVE: T=256K 224.3M.)
+AUTO_MIN_N_W8 = 1 << 27
 
 
 def supported_auto(n: int, width: int) -> bool:
-    return (
-        n >= AUTO_MIN_N
-        and width <= AUTO_MAX_WIDTH
-        and not _interpret()
-    )
+    if _interpret():
+        return False
+    if width <= AUTO_MAX_WIDTH:
+        return n >= AUTO_MIN_N
+    return width <= 2 * PASS_WIDTH and n >= AUTO_MIN_N_W8
 
 
 # kv lanes: width 4 measured 2.31x XLA at 64M pairs; width 5-8 runs as

