@@ -206,6 +206,25 @@ def _cmd_selftest(args) -> int:
     check("typed keys (float32 full sort)",
           np.array_equal(got_f, np.sort(fkeys)))
 
+    # round-4 surfaces: key-ordered group-by and distributed 64-bit keys
+    agg_k2, agg_c2 = hash_aggregate_distributed(
+        zk, op="count", key_order=True
+    )
+    check(
+        "hash aggregate key_order=True",
+        np.array_equal(agg_k2, uk)
+        and np.array_equal(agg_c2.astype(np.int64), uc),
+    )
+    from .parallel.sample_sort import sort_distributed_64
+
+    k64 = (keys.astype(np.uint64) << np.uint64(32)) | np.roll(
+        keys, 1
+    ).astype(np.uint64)
+    check(
+        "distributed 64-bit sort",
+        np.array_equal(sort_distributed_64(k64), np.sort(k64)),
+    )
+
     if args.subprocess:
         with tempfile.TemporaryDirectory() as mount:
             check(
