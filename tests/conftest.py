@@ -50,6 +50,14 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: multi-minute gates (pod-scale compile subprocesses)"
     )
+    config.addinivalue_line(
+        "markers",
+        "overlap: rdma_overlap harness tests — a measured-negative "
+        "mechanism kept for reproducibility, with P<=4 interpreter "
+        "carve-outs (PERF_NOTES round-3 deadlock); deselect with "
+        "-m 'not overlap' to run the main paths free of its "
+        "environment idiosyncrasies (VERDICT r3 weak point 4)",
+    )
 
 
 @pytest.fixture

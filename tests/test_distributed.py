@@ -302,6 +302,7 @@ def _mesh4():
     return key_mesh(jax.devices("cpu")[:4])
 
 
+@pytest.mark.overlap
 @pytest.mark.parametrize("width,n", [(4, 1 << 14), (8, 1111), (8, 1 << 14)])
 def test_rdma_overlap_full_sort_exact(width, n):
     """Full LSD sort through exchange='rdma_overlap': the in-kernel
@@ -314,6 +315,7 @@ def test_rdma_overlap_full_sort_exact(width, n):
     np.testing.assert_array_equal(out, np.sort(keys))
 
 
+@pytest.mark.overlap
 def test_rdma_overlap_round_stable_and_race_free():
     """One skewed width-8 round under the Mosaic interpreter's vector-clock
     race detector: per-group sends from pipelined grid steps must still be
@@ -345,6 +347,7 @@ def test_rdma_overlap_round_stable_and_race_free():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.overlap
 def test_rdma_overlap_multi_group_full_sort():
     """Full LSD with G=4 groups per chip (overlap_tile forces the grid):
     cross-group stability is positional ((src, group)-major layout), so

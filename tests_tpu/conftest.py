@@ -12,6 +12,14 @@ import jax
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "overlap: rdma_overlap harness tests (measured-negative mechanism "
+        "kept for reproducibility) — deselect with -m 'not overlap'",
+    )
+
+
 def pytest_collection_modifyitems(config, items):
     if jax.default_backend() != "tpu":
         skip = pytest.mark.skip(reason="requires a real TPU chip")

@@ -14,6 +14,7 @@ Mirrors the repartition plane of the reference
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -60,6 +61,7 @@ def test_rdma_full_lsd_compiled_self_loop():
     np.testing.assert_array_equal(np.asarray(out), np.sort(keys))
 
 
+@pytest.mark.overlap
 def test_rdma_overlap_round_compiled_self_loop():
     """One width-8 OVERLAPPED round (parallel/rdma_overlap.py) at
     n_local = 2^20 (G=16 groups of 2^16) through the real compiler: the
