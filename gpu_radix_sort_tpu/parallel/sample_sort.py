@@ -473,26 +473,153 @@ def sort_key_value_distributed(
     return out_k, out_v
 
 
+def _searchsorted_segments(arr, seg_lo, seg_hi, targets, *, side: str):
+    """Vectorized binary search of ``targets[i]`` within the sorted
+    segment ``arr[seg_lo[i]:seg_hi[i])`` (int32 positions).  The 64-bit
+    PSRS uses it to refine a hi-word tie run by the lo word without
+    materializing u64 composites (no jax_enable_x64)."""
+    n = arr.shape[0]
+    lo, hi = seg_lo, seg_hi
+    for _ in range(max(n, 2).bit_length()):
+        mid = (lo + hi) // 2
+        v = arr[jnp.clip(mid, 0, n - 1)]
+        go_right = (mid < hi) & (
+            (v < targets) if side == "left" else (v <= targets)
+        )
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
+
+
+def _sample_sort_shard64(hi, lo, *, axis, capacity):
+    """Keys-only PSRS over 64-bit keys carried as (hi, lo) uint32 lanes —
+    ONE local 2-lane sort + ONE exchange + ONE 2-lane reassembly, vs the
+    two full kv stages of the LSD composition.  Same composite-splitter
+    scheme as :func:`_sample_sort_shard` with the key extended to
+    (hi, lo): candidates are (hi, lo, rank, chip) — distinct, so the
+    regular-sampling balance bound holds for any distribution; ties of
+    the full 64-bit key round-robin by (rank, chip) exactly like the
+    32-bit keys-only path."""
+    P_ = lax.axis_size(axis)
+    my = lax.axis_index(axis)
+    n = hi.shape[0]
+
+    s_hi, s_lo = lax.sort(
+        (hi.astype(KEY_DTYPE), lo.astype(KEY_DTYPE)), num_keys=2
+    )
+
+    # composite splitters over (hi, lo, rank, chip)
+    stride = max(n // P_, 1)
+    pos = jnp.arange(P_, dtype=jnp.int32) * stride
+    gh = lax.all_gather(s_hi[pos], axis).reshape(-1)
+    gl = lax.all_gather(s_lo[pos], axis).reshape(-1)
+    cand_r = jnp.tile(pos, P_)
+    cand_c = jnp.repeat(jnp.arange(P_, dtype=jnp.int32), P_)
+    sh, sl, sr, sc = lax.sort((gh, gl, cand_r, cand_c), num_keys=4)
+    idx = jnp.arange(1, P_, dtype=jnp.int32) * P_
+    spl_h, spl_l, spl_r, spl_c = sh[idx], sl[idx], sr[idx], sc[idx]
+
+    # local boundary per splitter: #{(hi, lo, rank=my index, chip=my) <
+    # (H, L, r_m, c_m)} — hi searchsorted brackets the hi-tie run, the lo
+    # word refines WITHIN it (s_lo is sorted inside each hi run), and the
+    # full-key tie run [t1, t2) splits by (rank, chip) in closed form
+    # (ranks of the tie run ARE its indices).
+    c1 = jnp.searchsorted(s_hi, spl_h, side="left").astype(jnp.int32)
+    c2 = jnp.searchsorted(s_hi, spl_h, side="right").astype(jnp.int32)
+    t1 = _searchsorted_segments(s_lo, c1, c2, spl_l, side="left")
+    t2 = _searchsorted_segments(s_lo, c1, c2, spl_l, side="right")
+    tie = jnp.clip(spl_r - t1, 0, t2 - t1) + (
+        (my < spl_c) & (spl_r >= t1) & (spl_r < t2)
+    ).astype(jnp.int32)
+    bounds = t1 + tie
+    send_bounds = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), bounds, jnp.full(1, n, jnp.int32)]
+    )
+    send_count = send_bounds[1:] - send_bounds[:-1]
+    offdiag, overflowed, self_lo_b, self_hi_b = _self_bypass(
+        send_bounds, send_count, my, P_, capacity
+    )
+
+    def windows(buf):
+        padded = jnp.concatenate(
+            [buf, jnp.full((capacity,), PAD_KEY, KEY_DTYPE)]
+        )
+        return send_windows(padded, send_bounds[:-1], capacity)
+
+    counts_mat = lax.all_gather(offdiag, axis)
+    recv_count = counts_mat[:, my]
+    recv_h = lax.all_to_all(windows(s_hi), axis, 0, 0, tiled=False)
+    recv_l = lax.all_to_all(windows(s_lo), axis, 0, 0, tiled=False)
+
+    k_iota = lax.broadcasted_iota(jnp.int32, (P_, capacity), 1)
+    invalid = k_iota >= recv_count[:, None]
+    posn = jnp.arange(n, dtype=jnp.int32)
+    in_self = (posn >= self_lo_b) & (posn < self_hi_b)
+    # pads are (0xFFFFFFFF, 0xFFFFFFFF): they tie only with a real key of
+    # IDENTICAL 64-bit value, so the valid prefix is value-exact
+    # (keys-only sentinel exception, both words)
+    hi_all = jnp.concatenate([
+        jnp.where(invalid, PAD_KEY, recv_h).reshape(-1),
+        jnp.where(in_self, s_hi, PAD_KEY),
+    ])
+    lo_all = jnp.concatenate([
+        jnp.where(invalid, PAD_KEY, recv_l).reshape(-1),
+        jnp.where(in_self, s_lo, PAD_KEY),
+    ])
+    m_hi, m_lo = lax.sort((hi_all, lo_all), num_keys=2)
+    total = recv_count.sum().astype(jnp.int32) + (self_hi_b - self_lo_b)
+    return m_hi, m_lo, total[None], lax.psum(
+        overflowed.astype(jnp.int32), axis
+    )
+
+
+def build_sample_sort_64(
+    mesh,
+    n_local: int,
+    *,
+    capacity_factor: float = 1.5,
+    axis: str = KEY_AXIS,
+):
+    """Compile-ready single-pass distributed 64-bit sample sort.
+
+    ``fn(hi, lo) -> (m_hi, m_lo, counts, overflow)`` with hi/lo the
+    (P*n_local,) uint32 word lanes of the encoded u64 keys, sharded over
+    ``axis``."""
+    nchips = mesh.shape[axis]
+    capacity = default_pair_capacity(n_local, nchips, capacity_factor)
+    fn = shard_map(
+        lambda h, l: _sample_sort_shard64(h, l, axis=axis, capacity=capacity),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn), capacity
+
+
 def sort_distributed_64(
     keys,
     *,
     mesh=None,
     capacity_factor: float = 1.5,
+    single_pass: bool = True,
 ) -> np.ndarray:
     """Host-facing distributed full sort of 64-bit keys (uint64 / int64 /
     float64, the float64 order being IEEE-754 totalOrder) — beyond the
     reference's uint32-only C ABI (libsort/libsort.h:19), and the
     distributed twin of :func:`ops.radix_sort.sort_full_u64`.
 
-    Composition: the encoded u64 key splits into (hi, lo) uint32 words and
-    runs TWO distributed stable kv sample sorts — an LSD radix over two
-    32-bit digits (stable by lo carrying hi, then stable by hi carrying
-    lo).  Each stage is the proven stable kv PSRS machinery
-    (:func:`sort_key_value_distributed`: composite splitters, diagonal
-    bypass, stable reassembly), so duplicate-heavy and adversarial
-    distributions inherit that path's guarantees.  No jax_enable_x64
-    required — 64-bit words exist only host-side.
+    Default (``single_pass=True``): ONE keys-only PSRS over the (hi, lo)
+    word lanes (:func:`_sample_sort_shard64`) — one local 2-lane sort,
+    one exchange, one reassembly.  ``single_pass=False`` (and the
+    overflow fallback) runs the LSD composition instead: TWO distributed
+    stable kv sample sorts (stable by lo carrying hi, then stable by hi
+    carrying lo) on the proven :func:`sort_key_value_distributed`
+    machinery — ~2x the work, kept as the independent cross-check.  No
+    jax_enable_x64 required — 64-bit words exist only host-side.
     """
+    from .distributed import OverflowError_
+
     keys = np.asarray(keys)
     if keys.dtype not in (np.uint64, np.int64, np.float64):
         raise TypeError(
@@ -504,6 +631,36 @@ def sort_distributed_64(
     enc = encode_ordered_np64(keys)
     lo = (enc & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     hi = (enc >> np.uint64(32)).astype(np.uint32)
+
+    if single_pass:
+        mesh = mesh or key_mesh()
+        nchips = mesh.shape[KEY_AXIS]
+        n = keys.size
+        n_local = max(-(-n // nchips), nchips)
+        n_pad = n_local * nchips
+        ph = np.full(n_pad, 0xFFFFFFFF, dtype=np.uint32)
+        pl_ = np.full(n_pad, 0xFFFFFFFF, dtype=np.uint32)
+        ph[:n], pl_[:n] = hi, lo
+        sharding = NamedSharding(mesh, P(KEY_AXIS))
+        fn, _cap = build_sample_sort_64(
+            mesh, n_local, capacity_factor=capacity_factor
+        )
+        mh, ml, counts, overflow = fn(
+            jax.device_put(ph, sharding), jax.device_put(pl_, sharding)
+        )
+        if int(overflow) == 0:
+            mh = np.asarray(jax.device_get(mh)).reshape(nchips, -1)
+            ml = np.asarray(jax.device_get(ml)).reshape(nchips, -1)
+            counts = np.asarray(jax.device_get(counts)).reshape(-1)
+            oh = np.concatenate([mh[i, : counts[i]] for i in range(nchips)])
+            ol = np.concatenate([ml[i, : counts[i]] for i in range(nchips)])
+            assert oh.size == n_pad
+            out = (oh[:n].astype(np.uint64) << np.uint64(32)) | ol[:n].astype(
+                np.uint64
+            )
+            return decode_ordered_np64(out, keys.dtype)
+        # adversarial cross-chip placement overflowed the pair capacity:
+        # fall through to the two-stage LSD composition
 
     # pass 1: stable by lo, carry hi; pass 2: stable by hi, carry lo.
     slo, shi = sort_key_value_distributed(
