@@ -144,20 +144,27 @@ def bench_full_sort_u64(n: int, *, reps=3) -> BenchRecord:
 
 
 def bench_partial_sort(
-    n: int, *, offset=0, width=8, strategy=None, reps=5, trace_dir=None
+    n: int, *, offset=0, width=8, strategy=None, reps=5, trace_dir=None,
+    stable=True,
 ) -> BenchRecord:
+    """``stable=False`` benches the reference-contract route (digit groups
+    only, the contract the reference itself checks — utils/checks.py
+    ``check_partial_groups``); its row carries a ``_refcontract`` suffix so
+    the stable row stays the like-for-like LSD-grade comparison."""
     import jax
 
     from ..ops.radix_sort import sort_partial
 
     keys = jax.device_put(Pcg32().fill(n))
     fn = jax.jit(
-        lambda k: sort_partial(k, offset, width, strategy=strategy)
+        lambda k: sort_partial(k, offset, width, strategy=strategy,
+                               stable=stable)
     )
+    suffix = "" if stable else "_refcontract"
     with maybe_trace(trace_dir):
         med, mean, sd, _ = device_time(fn, (keys,), reps=reps)
-    return _record(f"partial_sort_u32_w{width}", n, reps, med, mean, sd,
-                   offset=offset, width=width)
+    return _record(f"partial_sort_u32_w{width}{suffix}", n, reps, med, mean,
+                   sd, offset=offset, width=width)
 
 
 def bench_key_value_sort(
@@ -256,6 +263,38 @@ def bench_mesh_sample(
         med, mean, sd, out = device_time(fn, (keys,), reps=reps)
     overflow = int(out[2])
     return _record("mesh_sample_sort", n, reps, med, mean, sd,
+                   nchips=nchips, overflow=overflow)
+
+
+def bench_mesh_sort64(
+    n_local: int, *, reps=3, mesh=None, capacity_factor=1.5, trace_dir=None
+) -> BenchRecord:
+    """Distributed 64-bit keys-only sort: the single-pass (hi, lo)-lane
+    PSRS (parallel/sample_sort.build_sample_sort_64)."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import KEY_AXIS, key_mesh
+    from ..parallel.sample_sort import build_sample_sort_64
+
+    mesh = mesh or key_mesh()
+    nchips = mesh.shape[KEY_AXIS]
+    n = n_local * nchips
+    rng = np.random.default_rng(64)
+    enc = rng.integers(0, 1 << 64, n, dtype=np.uint64)
+    sharding = NamedSharding(mesh, P(KEY_AXIS))
+    hi = jax.device_put((enc >> np.uint64(32)).astype(np.uint32), sharding)
+    lo = jax.device_put(
+        (enc & np.uint64(0xFFFFFFFF)).astype(np.uint32), sharding
+    )
+    fn, _cap = build_sample_sort_64(
+        mesh, n_local, capacity_factor=capacity_factor
+    )
+    with maybe_trace(trace_dir):
+        med, mean, sd, out = device_time(fn, (hi, lo), reps=reps)
+    overflow = int(out[3])
+    return _record("mesh_sort64", n, reps, med, mean, sd,
                    nchips=nchips, overflow=overflow)
 
 
@@ -477,6 +516,8 @@ def run_benchmarks(
         bench_partial_sort(n1, width=4, reps=reps),
         bench_partial_sort(n1, width=8, reps=reps),
         bench_partial_sort(n1, width=16, reps=reps),
+        bench_partial_sort(n1, width=8, reps=reps, stable=False),
+        bench_partial_sort(n1, width=16, reps=reps, stable=False),
         bench_key_value_sort(n1 // 2, payload_bytes=8, reps=reps),
         bench_kv_digit_sort(n1, width=4, reps=reps),
         # 64B payloads: grouped lane-riding sorts (ops/radix_sort.py
@@ -486,6 +527,7 @@ def run_benchmarks(
         bench_key_value_sort(n1 // 16, payload_bytes=64, reps=reps),
         bench_mesh_lsd(n_local, width=8, exchange="alltoall", reps=reps),
         bench_mesh_sample(n_local, reps=reps),
+        bench_mesh_sort64(n_local // 2, reps=reps),
         bench_mesh_kv_sample(max(n_local // 4, 1 << 12), reps=reps),
         bench_hash_aggregate(n_local, op="count", reps=reps),
         bench_full_sort_u64(min(n1, 16 << 20), reps=reps),

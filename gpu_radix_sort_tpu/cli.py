@@ -166,6 +166,17 @@ def _cmd_selftest(args) -> int:
         np.array_equal(np.asarray(jax.device_get(b)), boundaries_oracle(s, 8, 8)),
     )
 
+    from .utils.checks import check_partial_groups
+
+    s_rc, b_rc = sort_partial(jax.device_put(keys), 8, 8, stable=False)
+    check(
+        "partial sort stable=False (reference contract)",
+        check_partial_groups(np.asarray(jax.device_get(s_rc)), keys, 8, 8)
+        and np.array_equal(
+            np.asarray(jax.device_get(b_rc)), np.asarray(jax.device_get(b))
+        ),
+    )
+
     check("mesh LSD sort", check_sort_full(sort_distributed(keys), keys))
     check("mesh sample sort", check_sort_full(sort_distributed_sample(keys), keys))
     check(
@@ -215,7 +226,10 @@ def _cmd_selftest(args) -> int:
         np.array_equal(agg_k2, uk)
         and np.array_equal(agg_c2.astype(np.int64), uc),
     )
-    from .parallel.sample_sort import sort_distributed_64
+    from .parallel.sample_sort import (
+        sort_distributed_64,
+        sort_key_value_distributed_64,
+    )
 
     k64 = (keys.astype(np.uint64) << np.uint64(32)) | np.roll(
         keys, 1
@@ -223,6 +237,14 @@ def _cmd_selftest(args) -> int:
     check(
         "distributed 64-bit sort",
         np.array_equal(sort_distributed_64(k64), np.sort(k64)),
+    )
+    k64s = k64[: max(n // 8, 64)]
+    v64 = np.arange(k64s.size, dtype=np.uint32)[:, None]
+    gk64, gv64 = sort_key_value_distributed_64(k64s, v64)
+    o64 = np.argsort(k64s, kind="stable")
+    check(
+        "distributed 64-bit kv sort",
+        np.array_equal(gk64, k64s[o64]) and np.array_equal(gv64, v64[o64]),
     )
 
     if args.subprocess:

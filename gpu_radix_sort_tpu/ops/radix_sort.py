@@ -196,12 +196,47 @@ def sort_full(keys: jnp.ndarray, *, strategy: str | None = None) -> jnp.ndarray:
     return _sort_full_xla(keys)
 
 
-def sort_by_digits(
-    keys: jnp.ndarray, offset: int, width: int, *, strategy: str | None = None
+def _sort_by_digits_rotated(
+    keys: jnp.ndarray, offset: int, width: int, strategy: str | None
 ) -> jnp.ndarray:
-    """Stable sort by bits [offset, offset+width) — the partial sort's data
-    movement without boundary extraction."""
+    """Reference-contract (non-stable) digit sort: rotate the word so the
+    digit occupies the top bits, run a keys-only FULL sort, rotate back.
+
+    The result has exact digit groups in ascending order with the key
+    multiset preserved — precisely what the reference itself checks
+    (faasTest/pylibsort/sort.py:67-91 ``checkPartial`` and the Go
+    ``checkPartial``, benchmark/pkg/sort/testHelpers.go:324-448: group
+    membership only; its element-membership assert is even disabled as too
+    slow).  Within a digit group the order is the ROTATED-VALUE order
+    (deterministic, value-pure), not the input order — the same
+    rotated-value identity the fused LSD rounds ride
+    (parallel/distributed._fused_sort_shard).  Keys-only full sorts run
+    ~3x the stable digit kv-sort rate at reference scale on this hardware
+    (docs/PERF_NOTES.md), which is the whole point of offering it.
+    """
+    from .bits import rotr32
+
+    s = (offset + width) % 32
+    z = sort_full(rotr32(keys.astype(KEY_DTYPE), s), strategy=strategy)
+    return rotr32(z, (32 - s) % 32)
+
+
+def sort_by_digits(
+    keys: jnp.ndarray, offset: int, width: int, *, strategy: str | None = None,
+    stable: bool = True,
+) -> jnp.ndarray:
+    """Sort by bits [offset, offset+width) — the partial sort's data
+    movement without boundary extraction.
+
+    ``stable=True`` (default): stable by input order within equal digits —
+    the LSD-composability contract the distributed planes depend on.
+    ``stable=False``: the reference's checked contract only (digit groups
+    in order, multiset preserved; within-group order is the deterministic
+    rotated-value order) via a keys-only full sort of the digit-rotated
+    word — see :func:`_sort_by_digits_rotated`."""
     validate_digit_range(offset, width)
+    if not stable:
+        return _sort_by_digits_rotated(keys, offset, width, strategy)
     name = _resolve(strategy, keys.shape[0], "kv", width)
     if name == "pallas":
         from . import pallas_sort
@@ -220,30 +255,40 @@ def sort_by_digits(
 
 
 def sort_partial(
-    keys: jnp.ndarray, offset: int, width: int, *, strategy: str | None = None
+    keys: jnp.ndarray, offset: int, width: int, *, strategy: str | None = None,
+    stable: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Stable partial sort + reference-contract boundaries.
+    """Partial sort + reference-contract boundaries.
 
     Returns ``(sorted_keys, boundaries)`` where boundaries is
     uint32[2^width] with the exact semantics of the reference C ABI
     (invokers.cu:15 + sort.cu:367-394, empty-group backfill included).
+    ``stable=False`` relaxes within-group order to the reference's own
+    checked contract for a ~3x rate at scale (see :func:`sort_by_digits`);
+    boundaries are order-independent, so they are identical either way.
     """
-    sorted_keys = sort_by_digits(keys, offset, width, strategy=strategy)
+    sorted_keys = sort_by_digits(
+        keys, offset, width, strategy=strategy, stable=stable
+    )
     boundaries = compute_boundaries(sorted_keys, offset, width)
     return sorted_keys, boundaries
 
 
 def sort_partial_counts(
-    keys: jnp.ndarray, offset: int, width: int, *, strategy: str | None = None
+    keys: jnp.ndarray, offset: int, width: int, *, strategy: str | None = None,
+    stable: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Stable partial sort + exact per-digit counts (int32[2^width]).
+    """Partial sort + exact per-digit counts (int32[2^width]).
 
     TPU-native variant used by the distributed path: counts come from the
     histogram, avoiding the reference boundary contract's empty-group-0/1
-    quirks and keeping bucket metadata exact.
+    quirks and keeping bucket metadata exact.  ``stable`` as in
+    :func:`sort_partial`.
     """
     validate_digit_range(offset, width)
-    sorted_keys = sort_by_digits(keys, offset, width, strategy=strategy)
+    sorted_keys = sort_by_digits(
+        keys, offset, width, strategy=strategy, stable=stable
+    )
     # counts from the sorted runs (searchsorted diffs): scatter-free,
     # unlike a bincount over the unsorted keys (docs/PERF_NOTES.md).
     from .boundaries import digit_counts_sorted

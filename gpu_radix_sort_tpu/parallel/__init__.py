@@ -4,9 +4,11 @@ from .mesh import key_mesh, host_chip_mesh  # noqa: F401
 from .sample_sort import (  # noqa: F401
     build_sample_sort,
     build_sample_sort_kv,
+    build_sample_sort_kv64,
     sort_distributed_64,
     sort_distributed_sample,
     sort_key_value_distributed,
+    sort_key_value_distributed_64,
 )
 from .bucket_reader import BucketReader, ReadOrder  # noqa: F401
 from .storage_sort import (  # noqa: F401

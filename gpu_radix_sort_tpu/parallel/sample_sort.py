@@ -597,6 +597,271 @@ def build_sample_sort_64(
     return jax.jit(fn), capacity
 
 
+def _sample_sort_kv_shard64(hi, lo, local_vals, *, axis, capacity):
+    """Stable kv PSRS with 64-bit keys carried as (hi, lo) uint32 lanes —
+    the kv twin of :func:`_sample_sort_shard64` and the 64-bit twin of
+    :func:`_sample_sort_kv_shard`.  Stability: ties of the full (hi, lo)
+    key break by (source chip, original local index) = global input order,
+    matching a stable single-chip kv sort of the linearized input."""
+    P_ = lax.axis_size(axis)
+    my = lax.axis_index(axis)
+    n = hi.shape[0]
+    W = local_vals.shape[1]
+
+    if 0 < W <= MAX_SORT_LANES:
+        lanes = tuple(local_vals[:, w] for w in range(W))
+        sorted_ops = lax.sort(
+            (hi.astype(KEY_DTYPE), lo.astype(KEY_DTYPE), *lanes),
+            num_keys=2, is_stable=True,
+        )
+        s_hi, s_lo = sorted_ops[0], sorted_ops[1]
+        vals_s = jnp.stack(sorted_ops[2:], axis=1)
+    else:
+        idx = jnp.arange(n, dtype=jnp.uint32)
+        s_hi, s_lo, order = lax.sort(
+            (hi.astype(KEY_DTYPE), lo.astype(KEY_DTYPE), idx),
+            num_keys=2, is_stable=True,
+        )
+        vals_s = jnp.take(local_vals, order, axis=0)
+
+    # composite splitters over (hi, lo, chip, rank) — the STABLE tie order
+    # (cf. _composite_splitters order="chip_rank")
+    stride = max(n // P_, 1)
+    pos = jnp.arange(P_, dtype=jnp.int32) * stride
+    gh = lax.all_gather(s_hi[pos], axis).reshape(-1)
+    gl = lax.all_gather(s_lo[pos], axis).reshape(-1)
+    cand_r = jnp.tile(pos, P_)
+    cand_c = jnp.repeat(jnp.arange(P_, dtype=jnp.int32), P_)
+    sh, sl, sc, sr = lax.sort((gh, gl, cand_c, cand_r), num_keys=4)
+    idx_q = jnp.arange(1, P_, dtype=jnp.int32) * P_
+    spl_h, spl_l, spl_c, spl_r = sh[idx_q], sl[idx_q], sc[idx_q], sr[idx_q]
+
+    # local boundary: #{(hi, lo, chip=my, rank=idx) < (H, L, c_m, r_m)} —
+    # the (hi, lo) tie run [t1, t2) splits by (chip, rank): earlier chips
+    # contribute the whole run, the splitter's own chip its rank prefix.
+    c1 = jnp.searchsorted(s_hi, spl_h, side="left").astype(jnp.int32)
+    c2 = jnp.searchsorted(s_hi, spl_h, side="right").astype(jnp.int32)
+    t1 = _searchsorted_segments(s_lo, c1, c2, spl_l, side="left")
+    t2 = _searchsorted_segments(s_lo, c1, c2, spl_l, side="right")
+    tie = jnp.where(
+        my < spl_c,
+        t2 - t1,
+        jnp.where(my == spl_c, jnp.clip(spl_r - t1, 0, t2 - t1), 0),
+    )
+    bounds = t1 + tie
+    send_bounds = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), bounds, jnp.full(1, n, jnp.int32)]
+    )
+    send_count = send_bounds[1:] - send_bounds[:-1]
+    offdiag, overflowed, self_lo_b, self_hi_b = _self_bypass(
+        send_bounds, send_count, my, P_, capacity
+    )
+
+    padded_h = jnp.concatenate([s_hi, jnp.full((capacity,), PAD_KEY, KEY_DTYPE)])
+    padded_l = jnp.concatenate([s_lo, jnp.full((capacity,), PAD_KEY, KEY_DTYPE)])
+    padded_v = jnp.concatenate(
+        [vals_s, jnp.zeros((capacity, W), jnp.uint32)], axis=0
+    )
+    counts_mat = lax.all_gather(offdiag, axis)
+    recv_count = counts_mat[:, my]
+    recv_h = lax.all_to_all(
+        send_windows(padded_h, send_bounds[:-1], capacity), axis, 0, 0,
+        tiled=False,
+    )
+    recv_l = lax.all_to_all(
+        send_windows(padded_l, send_bounds[:-1], capacity), axis, 0, 0,
+        tiled=False,
+    )
+    recv_v = lax.all_to_all(
+        send_windows(padded_v, send_bounds[:-1], capacity), axis, 0, 0,
+        tiled=False,
+    )
+
+    # Reassembly: explicit (hi, lo, validity, src chip, src rank) — same
+    # scheme as the 32-bit kv path (validity outranks src so a real
+    # (0xFFFFFFFF, 0xFFFFFFFF) key never loses its payload to a pad).
+    k_iota = lax.broadcasted_iota(jnp.int32, (P_, capacity), 1)
+    invalid_rx = k_iota >= recv_count[:, None]
+    src_rx = lax.broadcasted_iota(jnp.int32, (P_, capacity), 0)
+    posn = jnp.arange(n, dtype=jnp.int32)
+    in_self = (posn >= self_lo_b) & (posn < self_hi_b)
+
+    hi_all = jnp.concatenate([
+        jnp.where(invalid_rx, PAD_KEY, recv_h).reshape(-1),
+        jnp.where(in_self, s_hi, PAD_KEY),
+    ])
+    lo_all = jnp.concatenate([
+        jnp.where(invalid_rx, PAD_KEY, recv_l).reshape(-1),
+        jnp.where(in_self, s_lo, PAD_KEY),
+    ])
+    invalid_all = jnp.concatenate([
+        invalid_rx.reshape(-1).astype(jnp.uint32),
+        (~in_self).astype(jnp.uint32),
+    ])
+    src_all = jnp.concatenate(
+        [src_rx.reshape(-1), jnp.broadcast_to(my, (n,)).astype(jnp.int32)]
+    )
+    rank_all = jnp.concatenate([k_iota.reshape(-1), posn])
+    rows_all = jnp.concatenate(
+        [recv_v.reshape(P_ * capacity, W), vals_s], axis=0
+    )
+    if 0 < W <= MAX_SORT_LANES:
+        lanes_all = tuple(rows_all[:, w] for w in range(W))
+        merged = lax.sort(
+            (hi_all, lo_all, invalid_all, src_all, rank_all, *lanes_all),
+            num_keys=5,
+        )
+        m_hi, m_lo = merged[0], merged[1]
+        merged_v = jnp.stack(merged[5:], axis=1)
+    else:
+        flat_idx = jnp.arange(rows_all.shape[0], dtype=jnp.uint32)
+        m_hi, m_lo, _, _, _, perm = lax.sort(
+            (hi_all, lo_all, invalid_all, src_all, rank_all, flat_idx),
+            num_keys=5,
+        )
+        merged_v = jnp.take(rows_all, perm, axis=0)
+    total = recv_count.sum().astype(jnp.int32) + (self_hi_b - self_lo_b)
+    return m_hi, m_lo, merged_v, total[None], lax.psum(
+        overflowed.astype(jnp.int32), axis
+    )
+
+
+def build_sample_sort_kv64(
+    mesh,
+    n_local: int,
+    payload_lanes: int,
+    *,
+    capacity_factor: float = 1.5,
+    axis: str = KEY_AXIS,
+):
+    """Compile-ready distributed stable kv sample sort with 64-bit keys.
+
+    ``fn(hi, lo, vals) -> (m_hi, m_lo, m_vals, counts, overflow)`` with
+    hi/lo the (P*n_local,) uint32 word lanes of the encoded u64 keys and
+    vals (P*n_local, payload_lanes) uint32, all sharded over ``axis``."""
+    nchips = mesh.shape[axis]
+    capacity = default_pair_capacity(n_local, nchips, capacity_factor)
+    fn = shard_map(
+        lambda h, l, v: _sample_sort_kv_shard64(
+            h, l, v, axis=axis, capacity=capacity
+        ),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn), capacity
+
+
+def sort_key_value_distributed_64(
+    keys,
+    values,
+    *,
+    mesh=None,
+    capacity_factor: float = 1.5,
+    single_pass: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-facing distributed stable key-value sort with 64-BIT keys
+    (uint64 / int64 / float64 totalOrder) — the kv twin of
+    :func:`sort_distributed_64`, completing the north-star 64-bit surface
+    beyond the reference's uint32-only C ABI (libsort/libsort.h:19).
+
+    ``values`` as in :func:`sort_key_value_distributed` ((n, B) uint8 rows
+    with B % 4 == 0, or any (n, W) uint32 array).  Default: ONE stable kv
+    PSRS over the (hi, lo) word lanes; ``single_pass=False`` (and the
+    overflow fallback) composes TWO stable 32-bit kv PSRS stages (by lo
+    carrying hi+payload, then by hi carrying lo+payload) — the independent
+    cross-check, ~2x the work.
+    """
+    from ..ops.bits import decode_ordered_np64, encode_ordered_np64
+    from .distributed import OverflowError_
+
+    keys = np.asarray(keys)
+    if keys.dtype not in (np.uint64, np.int64, np.float64):
+        raise TypeError(
+            f"sort_key_value_distributed_64 takes uint64/int64/float64 "
+            f"keys, got {keys.dtype}"
+        )
+    values = np.asarray(values)
+    n = keys.size
+    if values.shape[0] != n:
+        raise ValueError(f"values rows {values.shape[0]} != keys {n}")
+    vals_u32 = values
+    if values.dtype != np.uint32:
+        if values.dtype != np.uint8 or values.ndim != 2 or values.shape[1] % 4:
+            raise ValueError(
+                "values must be (n, W) uint32 or (n, B) uint8 with B % 4 == 0"
+            )
+        vals_u32 = values.view(np.uint32).reshape(n, -1)
+    if vals_u32.ndim != 2:
+        raise ValueError(
+            "values must be (n, W) uint32 or (n, B) uint8 with B % 4 == 0"
+        )
+    W = vals_u32.shape[1]
+
+    enc = encode_ordered_np64(keys)
+    lo = (enc & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (enc >> np.uint64(32)).astype(np.uint32)
+
+    def _restore(out_hi, out_lo, out_v):
+        out64 = (out_hi.astype(np.uint64) << np.uint64(32)) | out_lo.astype(
+            np.uint64
+        )
+        out_k = decode_ordered_np64(out64, keys.dtype)
+        if values.dtype != np.uint32:
+            out_v = (
+                np.ascontiguousarray(out_v.reshape(n, -1))
+                .view(np.uint8)
+                .reshape(values.shape)
+            )
+        return out_k, out_v
+
+    if single_pass:
+        mesh_ = mesh or key_mesh()
+        nchips = mesh_.shape[KEY_AXIS]
+        n_local = max(-(-n // nchips), nchips)
+        n_pad = n_local * nchips
+        ph = np.full(n_pad, 0xFFFFFFFF, dtype=np.uint32)
+        pl_ = np.full(n_pad, 0xFFFFFFFF, dtype=np.uint32)
+        ph[:n], pl_[:n] = hi, lo
+        pv = np.zeros((n_pad, W), dtype=np.uint32)
+        pv[:n] = vals_u32
+        sharding = NamedSharding(mesh_, P(KEY_AXIS))
+        fn, _cap = build_sample_sort_kv64(
+            mesh_, n_local, W, capacity_factor=capacity_factor
+        )
+        mh, ml, mv, counts, overflow = fn(
+            jax.device_put(ph, sharding),
+            jax.device_put(pl_, sharding),
+            jax.device_put(pv, sharding),
+        )
+        if int(overflow) == 0:
+            mh = np.asarray(jax.device_get(mh)).reshape(nchips, -1)
+            ml = np.asarray(jax.device_get(ml)).reshape(nchips, -1)
+            mv = np.asarray(jax.device_get(mv)).reshape(
+                nchips, mh.shape[1], W
+            )
+            counts = np.asarray(jax.device_get(counts)).reshape(-1)
+            oh = np.concatenate([mh[i, : counts[i]] for i in range(nchips)])
+            ol = np.concatenate([ml[i, : counts[i]] for i in range(nchips)])
+            ov = np.concatenate([mv[i, : counts[i]] for i in range(nchips)])
+            assert oh.size == n_pad
+            return _restore(oh[:n], ol[:n], ov[:n])
+        # adversarial cross-chip placement overflowed: LSD composition
+
+    # pass 1: stable by lo carrying (hi, payload); pass 2: stable by hi
+    # carrying (lo, payload) — stability makes the composition exact.
+    v1 = np.concatenate([hi[:, None], vals_u32], axis=1)
+    slo, sv1 = sort_key_value_distributed(
+        lo, v1, mesh=mesh, capacity_factor=capacity_factor
+    )
+    v2 = np.concatenate([slo[:, None], sv1[:, 1:]], axis=1)
+    shi2, sv2 = sort_key_value_distributed(
+        sv1[:, 0], v2, mesh=mesh, capacity_factor=capacity_factor
+    )
+    return _restore(shi2, sv2[:, 0], sv2[:, 1:])
+
+
 def sort_distributed_64(
     keys,
     *,

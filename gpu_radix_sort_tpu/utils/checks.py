@@ -66,6 +66,30 @@ def check_partial(
     return result.shape == expected.shape and bool(np.array_equal(result, expected))
 
 
+def check_partial_groups(
+    result: np.ndarray, original: np.ndarray, offset: int, width: int
+) -> bool:
+    """The reference's own partial-sort contract, strengthened to full
+    multiset equality: digit groups ascending with the reference's exact
+    group sizes (faasTest/pylibsort/sort.py:67-91 ``checkPartial`` /
+    benchmark/pkg/sort/testHelpers.go:324-448) AND the key multiset
+    preserved (the reference's membership assert, which it ships disabled
+    as too slow, done properly via one sort).  The contract of
+    ``sort_partial(..., stable=False)``."""
+    result = np.asarray(result, dtype=np.uint32)
+    original = np.asarray(original, dtype=np.uint32)
+    if result.shape != original.shape:
+        return False
+    got_digits = extract_digits(result, offset, width)
+    counts = np.bincount(
+        extract_digits(original, offset, width), minlength=1 << width
+    )
+    expect_digits = np.repeat(np.arange(1 << width, dtype=np.uint32), counts)
+    if not np.array_equal(got_digits, expect_digits):
+        return False
+    return bool(np.array_equal(np.sort(result), np.sort(original)))
+
+
 def boundaries_oracle(
     sorted_keys: np.ndarray, offset: int, width: int
 ) -> np.ndarray:

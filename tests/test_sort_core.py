@@ -51,6 +51,64 @@ def test_partial_counts_exact(offset, width):
     assert checks.check_partial(np.asarray(out), keys, offset, width)
 
 
+@pytest.mark.parametrize("offset,width", [(0, 4), (8, 8), (16, 16), (28, 4),
+                                          (24, 8), (5, 7)])
+def test_sort_partial_refcontract(offset, width):
+    """stable=False: the reference's checked contract (groups in order +
+    multiset, pylibsort/sort.py:67-91) via a keys-only full sort of the
+    digit-rotated word.  Within-group order is the deterministic
+    rotated-value order, so the result is also BIT-EXACT against a numpy
+    rotation oracle."""
+    keys = _keys(4099)
+    out, boundaries = gst.sort_partial(keys, offset, width, stable=False)
+    out = np.asarray(out)
+    assert checks.check_partial_groups(out, keys, offset, width)
+    s = (offset + width) % 32
+    rot = (keys >> np.uint32(s)) | (keys << np.uint32(32 - s)) if s else keys
+    srt = np.sort(rot)
+    back = (
+        (srt << np.uint32(s)) | (srt >> np.uint32(32 - s)) if s else srt
+    )
+    np.testing.assert_array_equal(out, back)
+    # boundaries are order-independent within groups: identical to stable's
+    np.testing.assert_array_equal(
+        np.asarray(boundaries), checks.boundaries_oracle(out, offset, width)
+    )
+    _, stable_b = gst.sort_partial(keys, offset, width, strategy="xla")
+    np.testing.assert_array_equal(np.asarray(boundaries), np.asarray(stable_b))
+
+
+def test_sort_partial_counts_refcontract():
+    keys = _keys(8191)
+    out, counts = gst.sort_partial_counts(keys, 8, 8, stable=False)
+    assert checks.check_partial_groups(np.asarray(out), keys, 8, 8)
+    np.testing.assert_array_equal(
+        np.asarray(counts), checks.true_bucket_counts(keys, 8, 8)
+    )
+
+
+def test_sort_by_digits_refcontract_full_width():
+    """width=32 at offset 0: the rotation is the identity and stable=False
+    degenerates to a plain full sort (boundary-free path only — a
+    2^width boundary array is the caller's choice to avoid)."""
+    keys = _keys(4099)
+    out = np.asarray(gst.sort_by_digits(keys, 0, 32, stable=False))
+    np.testing.assert_array_equal(out, np.sort(keys))
+
+
+def test_check_partial_groups_rejects():
+    """The oracle itself must catch wrong groups and multiset swaps."""
+    keys = _keys(512)
+    out = np.asarray(gst.sort_by_digits(keys, 0, 4, stable=False))
+    assert checks.check_partial_groups(out, keys, 0, 4)
+    bad = out.copy()
+    bad[0] ^= np.uint32(1 << 0)  # flips digit bit -> group order breaks
+    assert not checks.check_partial_groups(bad, keys, 0, 4)
+    bad2 = out.copy()
+    bad2[0] ^= np.uint32(1 << 20)  # same digit, different key: multiset
+    assert not checks.check_partial_groups(bad2, keys, 0, 4)
+
+
 def test_partial_stability():
     # Equal digits must preserve input order: encode provenance in low bits
     # (reference fixture pattern: values encode (partId<<4)|arrId,
