@@ -17,6 +17,7 @@ from .ops.radix_sort import (
     sort_by_digits,
     sort_key_value,
     sort_key_value_by_digits,
+    sort_key_value_u64,
     set_default_strategy,
     get_default_strategy,
 )
@@ -40,6 +41,7 @@ __all__ = [
     "sort_by_digits",
     "sort_key_value",
     "sort_key_value_by_digits",
+    "sort_key_value_u64",
     "set_default_strategy",
     "get_default_strategy",
     "compute_boundaries",

@@ -123,9 +123,10 @@ def bench_full_sort(n: int, *, strategy=None, reps=5, trace_dir=None) -> BenchRe
 
 
 def bench_full_sort_u64(n: int, *, reps=3) -> BenchRecord:
-    """64-bit keys (hi/lo split, two stable 32-bit kv passes) — the
-    single-chip rate row for the beyond-reference u64 surface (the device
-    compute is timed; host codec/split excluded like every other row)."""
+    """64-bit keys (hi/lo word lanes, ONE lexicographic 2-lane sort —
+    ops/radix_sort.sort_full_u64's device compute) — the single-chip rate
+    row for the beyond-reference u64 surface (host codec/split excluded
+    like every other row)."""
     import jax
     import jax.numpy as jnp
 
@@ -135,11 +136,10 @@ def bench_full_sort_u64(n: int, *, reps=3) -> BenchRecord:
     hi = jax.device_put(jnp.asarray((enc >> 64 - 32).astype("uint32")))
 
     @jax.jit
-    def fn(lo, hi):
-        slo, shi = jax.lax.sort_key_val(lo, hi, is_stable=True)
-        return jax.lax.sort_key_val(shi, slo, is_stable=True)
+    def fn(hi, lo):
+        return jax.lax.sort((hi, lo), num_keys=2)
 
-    med, mean, sd, _ = device_time(fn, (lo, hi), reps=reps)
+    med, mean, sd, _ = device_time(fn, (hi, lo), reps=reps)
     return _record("full_sort_u64", n, reps, med, mean, sd)
 
 

@@ -430,10 +430,9 @@ def sort_full_u64(keys) -> "np.ndarray":
     uint32-only surface (libsort.h:19).
 
     Host-facing: the key is split into (hi, lo) uint32 words and sorted by
-    two stable 32-bit kv passes on device (LSD composition: stable by lo
-    carrying hi, then stable by hi carrying lo — each pass is the proven
-    `lax.sort_key_val` stable machinery), then reassembled host-side.
-    Cost is ~2 stable u32 kv sorts; no jax_enable_x64 required.
+    ONE lexicographic 2-lane sort on device (``lax.sort num_keys=2`` —
+    half the work of the earlier two-stable-kv-pass LSD composition),
+    then reassembled host-side.  No jax_enable_x64 required.
     """
     import numpy as np
 
@@ -448,12 +447,73 @@ def sort_full_u64(keys) -> "np.ndarray":
     lo = (enc & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     hi = (enc >> np.uint64(32)).astype(np.uint32)
 
-    # pass 1: stable by lo, carry hi; pass 2: stable by hi, carry lo
-    slo, shi = jax.lax.sort_key_val(
-        jnp.asarray(lo), jnp.asarray(hi), is_stable=True
-    )
-    shi2, slo2 = jax.lax.sort_key_val(shi, slo, is_stable=True)
+    shi, slo = jax.jit(
+        lambda h, l: jax.lax.sort((h, l), num_keys=2)
+    )(jnp.asarray(hi), jnp.asarray(lo))
     out = (
-        np.asarray(shi2).astype(np.uint64) << np.uint64(32)
-    ) | np.asarray(slo2).astype(np.uint64)
+        np.asarray(shi).astype(np.uint64) << np.uint64(32)
+    ) | np.asarray(slo).astype(np.uint64)
     return decode_ordered_np64(out, keys.dtype)
+
+
+def sort_key_value_u64(keys, values) -> tuple:
+    """Stable ascending full sort of rows keyed by 64-BIT keys (uint64 /
+    int64 / float64 totalOrder) — the single-chip twin of
+    :func:`parallel.sample_sort.sort_key_value_distributed_64` and the kv
+    extension of :func:`sort_full_u64`, beyond the reference's
+    uint32-only surface (libsort.h:19).
+
+    Host-facing: keys split into (hi, lo) uint32 word lanes; narrow
+    payloads ride one stable ``lax.sort num_keys=2`` as extra operands,
+    wide payloads move via rank-keyed grouped lane sorts (same policy as
+    :func:`sort_key_value`).  ``values`` may be any dtype/shape with
+    leading axis == len(keys).
+    """
+    import numpy as np
+
+    from .bits import decode_ordered_np64, encode_ordered_np64
+
+    keys = np.asarray(keys)
+    if keys.dtype not in (np.uint64, np.int64, np.float64):
+        raise TypeError(
+            f"sort_key_value_u64 takes uint64/int64/float64 keys, got "
+            f"{keys.dtype}"
+        )
+    values = np.asarray(values)
+    if values.shape[0] != keys.shape[0]:
+        raise ValueError(
+            f"values leading axis {values.shape[0]} != len(keys) {keys.size}"
+        )
+    enc = encode_ordered_np64(keys)
+    lo = jnp.asarray((enc & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    hi = jnp.asarray((enc >> np.uint64(32)).astype(np.uint32))
+
+    vals_j = jnp.asarray(values)
+    lanes = _lanes_view(vals_j) if vals_j.ndim == 2 else None
+    if vals_j.ndim == 1 and vals_j.dtype.itemsize <= 4:
+        shi, slo, sv = jax.lax.sort(
+            (hi, lo, vals_j), num_keys=2, is_stable=True
+        )
+        out_v = np.asarray(sv)
+    elif lanes is not None and 0 < lanes.shape[1] <= MAX_SORT_LANES:
+        cols = tuple(lanes[:, w] for w in range(lanes.shape[1]))
+        sorted_ops = jax.lax.sort((hi, lo, *cols), num_keys=2, is_stable=True)
+        shi, slo = sorted_ops[0], sorted_ops[1]
+        out_v = np.asarray(
+            _lanes_restore(jnp.stack(sorted_ops[2:], axis=1), vals_j)
+        )
+    else:
+        idx = jnp.arange(hi.shape[0], dtype=jnp.uint32)
+        shi, slo, order = jax.lax.sort((hi, lo, idx), num_keys=2,
+                                       is_stable=True)
+        if lanes is not None and lanes.shape[1] > 0:
+            rank = _invert_permutation(order)
+            out_v = np.asarray(
+                _lanes_restore(_permute_lanes_grouped(rank, lanes), vals_j)
+            )
+        else:
+            out_v = np.asarray(jnp.take(vals_j, order, axis=0))
+    out64 = (
+        np.asarray(shi).astype(np.uint64) << np.uint64(32)
+    ) | np.asarray(slo).astype(np.uint64)
+    return decode_ordered_np64(out64, keys.dtype), out_v

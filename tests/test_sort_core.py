@@ -381,8 +381,50 @@ def test_sort_key_value_typed_keys_stable():
     np.testing.assert_array_equal(np.asarray(gv), order.astype(np.uint32))
 
 
+@pytest.mark.parametrize("W", [1, 3, 6])
+def test_sort_key_value_u64(W):
+    """Single-chip stable kv sort with 64-bit keys: lane-riding (W<=4)
+    and grouped-permutation (W>4) payload routes, duplicate keys."""
+    from gpu_radix_sort_tpu.ops.radix_sort import sort_key_value_u64
+
+    rng = np.random.default_rng(17)
+    n = 4096
+    keys = rng.integers(0, 1 << 64, n, dtype=np.uint64)
+    keys[::5] = keys[0]  # stability-visible duplicate mass
+    vals = rng.integers(0, 1 << 32, (n, W), dtype=np.uint64).astype(np.uint32)
+    gk, gv = sort_key_value_u64(keys, vals)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(gk, keys[order])
+    np.testing.assert_array_equal(gv, vals[order])
+
+
+def test_sort_key_value_u64_typed_scalar_payload():
+    from gpu_radix_sort_tpu.ops.radix_sort import sort_key_value_u64
+
+    rng = np.random.default_rng(19)
+    n = 3000
+    f64 = rng.standard_normal(n)
+    f64[:4] = [-np.inf, np.inf, -0.0, 0.0]
+    vals = np.arange(n, dtype=np.uint32)
+    gk, gv = sort_key_value_u64(f64, vals)
+    order = np.argsort(f64, kind="stable")
+    # np.argsort orders -0.0/0.0 arbitrarily among equals; compare via the
+    # encoded totalOrder instead
+    from gpu_radix_sort_tpu.ops.bits import encode_ordered_np64
+
+    order = np.argsort(encode_ordered_np64(f64), kind="stable")
+    assert gk.dtype == np.float64
+    np.testing.assert_array_equal(gk, f64[order])
+    np.testing.assert_array_equal(gv, vals[order])
+
+    with pytest.raises(TypeError, match="uint64"):
+        sort_key_value_u64(np.zeros(4, np.uint32), vals[:4])
+    with pytest.raises(ValueError, match="leading axis"):
+        sort_key_value_u64(np.zeros(4, np.uint64), vals[:3])
+
+
 def test_sort_full_u64_typed():
-    """64-bit keys (u64/i64/f64) via two stable 32-bit kv passes."""
+    """64-bit keys (u64/i64/f64) via one lexicographic 2-lane sort."""
     from gpu_radix_sort_tpu.ops.radix_sort import sort_full_u64
 
     rng = np.random.default_rng(7)

@@ -153,6 +153,32 @@ def test_sort_partial_boundaries_fuzz():
         np.testing.assert_array_equal(b, want_b)
 
 
+def test_sort_partial_refcontract_fuzz():
+    """stable=False partial sorts through the public dispatch ON CHIP: the
+    rotated-value route rides the same merge-engine geometries the full
+    sorts already compiled, so this costs execution only.  Asserts the
+    reference's checked contract (groups + multiset) AND bit-exactness
+    against the numpy rotation oracle, plus boundary equality with the
+    stable path's order-independent contract."""
+    import jax
+    import gpu_radix_sort_tpu as gst
+    from gpu_radix_sort_tpu.utils import checks
+
+    rng = np.random.default_rng(SEED + 3)
+    for offset, width in ((8, 8), (16, 16)):
+        n = int(rng.integers(1 << 20, 1 << 21))
+        keys = rng.integers(0, 1 << 32, n, dtype=np.uint32)
+        s, b = gst.sort_partial(keys, offset, width, stable=False)
+        s, b = np.asarray(jax.device_get(s)), np.asarray(jax.device_get(b))
+        assert checks.check_partial_groups(s, keys, offset, width)
+        sr = (offset + width) % 32
+        rot = (keys >> np.uint32(sr)) | (keys << np.uint32(32 - sr))
+        srt = np.sort(rot)
+        back = (srt << np.uint32(sr)) | (srt >> np.uint32(32 - sr))
+        np.testing.assert_array_equal(s, back)
+        np.testing.assert_array_equal(b, checks.boundaries_oracle(s, offset, width))
+
+
 def test_sort_kv_stable_fuzz():
     """Stable kv through the public dispatch with duplicate-heavy keys."""
     import jax
