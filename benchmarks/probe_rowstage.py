@@ -1,6 +1,10 @@
 """Round-4 probe: stage-1 via batched XLA row sorts (VERDICT r3 item 1,
-candidate B).  Chain-timed at 64M, exactness-gated, vs the production
-sort_full_large.  Run alone (one process owns the TPU)."""
+candidate B).  Chain-timed, exactness-gated, vs the production
+sort_full_large.  Run alone (one process owns the TPU).
+
+Usage: python benchmarks/probe_rowstage.py [n_keys] [rep]
+(defaults 64Mi / 10; the round-4-late 256Mi re-check passes 268435456 4).
+"""
 
 import json
 import statistics
@@ -18,7 +22,8 @@ def main():
     from gpu_radix_sort_tpu.ops import pallas_merge as pm
     from gpu_radix_sort_tpu.utils.keygen import Pcg32
 
-    N, REP = 64 * 1024 * 1024, 10
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 64 * 1024 * 1024
+    REP = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     keys = Pcg32(3).fill(N)
     import numpy as np
     want = np.sort(keys)

@@ -13,7 +13,9 @@ from .ops.radix_sort import (
     sort_full,
     sort_full_u64,
     sort_partial,
+    sort_partial_u64,
     sort_partial_counts,
+    sort_partial_counts_u64,
     sort_by_digits,
     sort_key_value,
     sort_key_value_by_digits,
@@ -37,7 +39,9 @@ __all__ = [
     "sort_full",
     "sort_full_u64",
     "sort_partial",
+    "sort_partial_u64",
     "sort_partial_counts",
+    "sort_partial_counts_u64",
     "sort_by_digits",
     "sort_key_value",
     "sort_key_value_by_digits",

@@ -517,3 +517,128 @@ def sort_key_value_u64(keys, values) -> tuple:
         np.asarray(shi).astype(np.uint64) << np.uint64(32)
     ) | np.asarray(slo).astype(np.uint64)
     return decode_ordered_np64(out64, keys.dtype), out_v
+
+
+def _validate_digit_range_64(offset: int, width: int) -> None:
+    if not (0 < width <= 32 and 0 <= offset and offset + width <= 64):
+        raise ValueError(
+            f"64-bit digit range [offset={offset}, offset+width="
+            f"{offset + width}) must lie within [0, 64] with 1 <= width <= 32"
+        )
+
+
+def _sort_partial_u64_impl(keys, offset: int, width: int, stable: bool):
+    """Shared digit-sort core for the 64-bit partial surfaces: returns the
+    sorted encoded (hi, lo) word lanes plus the sorted digit lane (uint32,
+    device array) from which boundaries/counts derive."""
+    import numpy as np
+
+    from .bits import encode_ordered_np64
+
+    _validate_digit_range_64(offset, width)
+    keys = np.asarray(keys)
+    if keys.dtype not in (np.uint64, np.int64, np.float64):
+        raise TypeError(
+            f"64-bit partial sorts take uint64/int64/float64 keys, got "
+            f"{keys.dtype}"
+        )
+    enc = encode_ordered_np64(keys)
+    if stable:
+        # stable-by-input-order within equal digits: one stable 1-key sort
+        # carrying the (hi, lo) words as operands — the 64-bit twin of
+        # sort_by_digits(stable=True) (reference contract: invokers.cu:15).
+        digit = (
+            (enc >> np.uint64(offset)) & np.uint64((1 << width) - 1)
+        ).astype(np.uint32)
+        lo = (enc & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (enc >> np.uint64(32)).astype(np.uint32)
+        sd, shi, slo = jax.jit(
+            lambda d, h, l: jax.lax.sort((d, h, l), num_keys=1,
+                                         is_stable=True)
+        )(jnp.asarray(digit), jnp.asarray(hi), jnp.asarray(lo))
+        return shi, slo, sd
+    # reference-checked contract (digit groups only): rotate the encoded
+    # word so the digit occupies the top bits, keys-only lexicographic
+    # 2-lane sort, rotate back — _sort_by_digits_rotated lifted to 64 bits.
+    s = (offset + width) % 64
+    if s:
+        rot = (enc >> np.uint64(s)) | (enc << np.uint64(64 - s))
+    else:
+        rot = enc
+    lo = (rot & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (rot >> np.uint64(32)).astype(np.uint32)
+    rhi, rlo = jax.jit(
+        lambda h, l: jax.lax.sort((h, l), num_keys=2)
+    )(jnp.asarray(hi), jnp.asarray(lo))
+    # digit now sits in the top `width` bits of the rotated word = top of hi
+    sd = (rhi >> np.uint32(32 - width)) if width < 32 else rhi
+    if s:
+        # rotate back on the word lanes: out = rotl64(rot_sorted, s)
+        if s < 32:
+            shi = (rhi << np.uint32(s)) | (rlo >> np.uint32(32 - s))
+            slo = (rlo << np.uint32(s)) | (rhi >> np.uint32(32 - s))
+        elif s == 32:
+            shi, slo = rlo, rhi
+        else:
+            t = s - 32
+            shi = (rlo << np.uint32(t)) | (rhi >> np.uint32(32 - t))
+            slo = (rhi << np.uint32(t)) | (rlo >> np.uint32(32 - t))
+    else:
+        shi, slo = rhi, rlo
+    return shi, slo, sd
+
+
+def _words_to_np64(shi, slo, dtype):
+    import numpy as np
+
+    from .bits import decode_ordered_np64
+
+    out = (
+        np.asarray(shi).astype(np.uint64) << np.uint64(32)
+    ) | np.asarray(slo).astype(np.uint64)
+    return decode_ordered_np64(out, dtype)
+
+
+def sort_partial_u64(
+    keys, offset: int, width: int, *, stable: bool = True
+) -> tuple:
+    """Partial sort + reference-contract boundaries for 64-BIT keys
+    (uint64 / int64 / float64 totalOrder) — the 64-bit twin of
+    :func:`sort_partial`, beyond the reference's uint32-only C ABI
+    (libsort.h:19 caps keys at 32 bits; its digit window semantics,
+    invokers.cu:15, are reproduced here over a 64-bit word).
+
+    Digits are bits [offset, offset+width) of the ORDER-PRESERVING encoded
+    word (raw bits for uint64; sign-flipped for int64, totalOrder-mapped
+    for float64 — so digit groups ascend in key order), offset+width <= 64,
+    width <= 32.  Boundaries are uint32[2^width] with the exact reference
+    backfill semantics (sort.cu:367-394).  ``stable`` as in
+    :func:`sort_partial`: True = stable by input order (one stable 1-key
+    digit sort over (hi, lo) operand lanes), False = the reference's
+    checked groups-only contract via a keys-only 2-lane sort of the
+    digit-rotated word (~the full-sort rate).  Host-facing.
+    """
+    import numpy as np
+
+    from .boundaries import compute_boundaries
+
+    np_keys = np.asarray(keys)
+    shi, slo, sd = _sort_partial_u64_impl(keys, offset, width, stable)
+    b = compute_boundaries(sd, 0, width)
+    return _words_to_np64(shi, slo, np_keys.dtype), np.asarray(b)
+
+
+def sort_partial_counts_u64(
+    keys, offset: int, width: int, *, stable: bool = True
+) -> tuple:
+    """Partial sort + exact per-digit counts (int32[2^width]) for 64-bit
+    keys — the 64-bit twin of :func:`sort_partial_counts` (exact histogram
+    metadata, immune to the reference boundary quirks)."""
+    import numpy as np
+
+    from .boundaries import digit_counts_sorted
+
+    np_keys = np.asarray(keys)
+    shi, slo, sd = _sort_partial_u64_impl(keys, offset, width, stable)
+    c = digit_counts_sorted(sd, 0, width)
+    return _words_to_np64(shi, slo, np_keys.dtype), np.asarray(c)

@@ -423,6 +423,110 @@ def test_sort_key_value_u64_typed_scalar_payload():
         sort_key_value_u64(np.zeros(4, np.uint64), vals[:3])
 
 
+def _digit64(enc: np.ndarray, offset: int, width: int) -> np.ndarray:
+    return ((enc >> np.uint64(offset)) & np.uint64((1 << width) - 1)).astype(
+        np.uint32
+    )
+
+
+@pytest.mark.parametrize("offset,width", [(0, 8), (28, 8), (32, 4),
+                                          (48, 16), (60, 4), (5, 7)])
+def test_sort_partial_u64(offset, width):
+    """64-bit partial sorts: stable-by-input-order digit sort over a
+    64-bit window (incl. word-straddling ones) + reference-contract
+    boundaries."""
+    from gpu_radix_sort_tpu.ops.radix_sort import sort_partial_u64
+
+    rng = np.random.default_rng(31)
+    keys = rng.integers(0, 1 << 64, 4099, dtype=np.uint64)
+    keys[::7] = keys[1]  # stability-visible duplicate mass
+    got, boundaries = sort_partial_u64(keys, offset, width)
+    digit = _digit64(keys, offset, width)
+    order = np.argsort(digit, kind="stable")
+    np.testing.assert_array_equal(got, keys[order])
+    np.testing.assert_array_equal(
+        boundaries,
+        checks.boundaries_oracle(digit[order], 0, width),
+    )
+
+
+@pytest.mark.parametrize("offset,width", [(0, 8), (28, 8), (48, 16),
+                                          (32, 32), (0, 32)])
+def test_sort_partial_counts_u64_refcontract(offset, width):
+    """stable=False over 64-bit windows: groups-only contract via the
+    rotated keys-only 2-lane sort — bit-exact against a numpy uint64
+    rotation oracle; counts exact; width=32 windows (whole words) hit the
+    swap/rotate-back word-lane edge cases (sort-only there: a 2^32 count
+    array is the caller's choice to avoid, as in the 32-bit width-32
+    surface)."""
+    from gpu_radix_sort_tpu.ops.radix_sort import (
+        _sort_partial_u64_impl,
+        _words_to_np64,
+        sort_partial_counts_u64,
+    )
+
+    rng = np.random.default_rng(33)
+    keys = rng.integers(0, 1 << 64, 4099, dtype=np.uint64)
+    if width <= 16:
+        got, counts = sort_partial_counts_u64(
+            keys, offset, width, stable=False
+        )
+        digit = _digit64(keys, offset, width)
+        np.testing.assert_array_equal(
+            counts, np.bincount(digit, minlength=1 << width).astype(np.int32)
+        )
+    else:
+        shi, slo, _ = _sort_partial_u64_impl(keys, offset, width, False)
+        got = _words_to_np64(shi, slo, keys.dtype)
+    s = (offset + width) % 64
+    rot = (keys >> np.uint64(s)) | (keys << np.uint64(64 - s)) if s else keys
+    srt = np.sort(rot)
+    back = (
+        (srt << np.uint64(s)) | (srt >> np.uint64(64 - s)) if s else srt
+    )
+    np.testing.assert_array_equal(got, back)
+
+
+def test_sort_partial_u64_typed_and_errors():
+    """int64/float64 keys: digits are windows of the ORDER-PRESERVING
+    encoded word, so digit groups ascend in key order; stable within."""
+    from gpu_radix_sort_tpu.ops.bits import encode_ordered_np64
+    from gpu_radix_sort_tpu.ops.radix_sort import (
+        sort_partial_counts_u64,
+        sort_partial_u64,
+    )
+
+    rng = np.random.default_rng(37)
+    i64 = rng.integers(-(1 << 62), 1 << 62, 3000, dtype=np.int64)
+    i64[:3] = [np.iinfo(np.int64).min, -1, np.iinfo(np.int64).max]
+    got, b = sort_partial_u64(i64, 56, 8)
+    enc = encode_ordered_np64(i64)
+    order = np.argsort(_digit64(enc, 56, 8), kind="stable")
+    assert got.dtype == np.int64
+    np.testing.assert_array_equal(got, i64[order])
+
+    f64 = rng.standard_normal(3000)
+    f64[:4] = [-np.inf, np.inf, -0.0, 0.0]
+    enc = encode_ordered_np64(f64)
+    got, counts = sort_partial_counts_u64(f64, 60, 4, stable=False)
+    # top-4-bit groups of the totalOrder encoding ascend in key order
+    np.testing.assert_array_equal(
+        _digit64(encode_ordered_np64(got), 60, 4),
+        np.sort(_digit64(enc, 60, 4)),
+    )
+    np.testing.assert_array_equal(np.sort(got), np.sort(f64))
+    np.testing.assert_array_equal(
+        counts, np.bincount(_digit64(enc, 60, 4), minlength=16)
+    )
+
+    with pytest.raises(TypeError, match="uint64"):
+        sort_partial_u64(np.zeros(4, np.uint32), 0, 4)
+    with pytest.raises(ValueError, match="64-bit digit range"):
+        sort_partial_u64(np.zeros(4, np.uint64), 60, 8)
+    with pytest.raises(ValueError, match="64-bit digit range"):
+        sort_partial_u64(np.zeros(4, np.uint64), 0, 33)
+
+
 def test_sort_full_u64_typed():
     """64-bit keys (u64/i64/f64) via one lexicographic 2-lane sort."""
     from gpu_radix_sort_tpu.ops.radix_sort import sort_full_u64
