@@ -27,6 +27,23 @@ import time
 BASELINE_KEYS_PER_S = 76e6  # reference full-sort rate per GPU (BASELINE.md)
 N = 64 * 1024 * 1024
 REP = 10
+HBM_BW_BYTES_PER_S = 540e9  # measured Pallas HBM streaming rate (PERF_NOTES)
+
+
+def traffic_bound_rate(n: int) -> float:
+    """The architecture's HBM speed-of-light rate in keys/s: every stage of
+    sort_full_large (XLA row-stage prep, the tile-sort grid, and each merge
+    level) reads and writes the padded array once, so the minimum HBM
+    traffic is stages * 2 * 4 bytes * n_pad moved at the measured streaming
+    bandwidth.  Tracks the north star's "speed-of-light" axis per round
+    (VERDICT r4 item 8)."""
+    from gpu_radix_sort_tpu.ops import pallas_merge as pm
+
+    n_pad = pm._padded_n(n)
+    levels = (n_pad // pm.TILE).bit_length() - 1
+    stages = 2 + levels  # _rowstage_prep + sort_tiles + merge levels
+    traffic = stages * 2 * 4 * n_pad
+    return n / (traffic / HBM_BW_BYTES_PER_S)
 
 
 def log(msg: str) -> None:
@@ -99,11 +116,16 @@ def main() -> None:
         f"-> {rate / 1e6:.1f}M keys/s "
         f"(chain times: {[f'{x:.3f}s' for x in chain_times]})")
 
+    bound = traffic_bound_rate(n)
+    log(f"HBM traffic bound: {bound / 1e6:.1f}M keys/s -> "
+        f"speed-of-light fraction {rate / bound:.3f}")
     print(json.dumps({
         "metric": "keys_per_s_per_chip_full_sort_u32",
         "value": round(rate, 1),
         "unit": "keys/s",
         "vs_baseline": round(rate / BASELINE_KEYS_PER_S, 3),
+        "sol_bound_keys_per_s": round(bound, 1),
+        "sol_fraction": round(rate / bound, 4),
     }))
 
 
