@@ -453,6 +453,44 @@ def bench_storage_kv(
     )
 
 
+def bench_storage_u64(
+    n: int, cfg: SortConfig, *, reps=1, warmup=True
+) -> BenchRecord:
+    """64-bit keys through the storage plane (64/width LSD rounds over
+    8-byte order-encoded rows, parallel/storage_sort.py) — the storage twin
+    of bench_full_sort_u64, beyond the reference's u32-only surface
+    (libsort.h:19)."""
+    from ..parallel.storage_sort import sort_distrib_from_raw_u64
+
+    cfg.validate()
+    rng = np.random.default_rng(40)
+    keys = rng.integers(0, 1 << 64, n, dtype=np.uint64)
+    stats = SortStats()
+
+    def run(tag, rec=stats):
+        return sort_distrib_from_raw_u64(
+            keys, tag, cfg.make_factory(),
+            width=cfg.width, nworker=cfg.nworker, stats=rec,
+        )
+
+    if warmup:
+        run("u64_warmup", rec=SortStats())
+    times = []
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        got = run(f"u64_r{rep}")
+        times.append(time.perf_counter() - t0)
+        if not np.array_equal(got, np.sort(keys)):
+            raise AssertionError("storage u64 sort produced wrong output")
+    med = statistics.median(times)
+    return _record(
+        f"storage_u64_{cfg.backend}_w{cfg.width}", n, reps, med,
+        statistics.fmean(times),
+        statistics.stdev(times) if reps > 1 else 0.0,
+        phases=stats.report(), nworker=cfg.nworker,
+    )
+
+
 def run_scaling(
     n_local: int = 1 << 16, *, reps: int = 3
 ) -> list[BenchRecord]:
@@ -541,6 +579,9 @@ def run_benchmarks(
         bench_storage_kv(
             min(n1 // 8, 1 << 19), SortConfig(backend="mem"),
             payload_bytes=64, reps=1,
+        ),
+        bench_storage_u64(
+            min(n1 // 8, 1 << 19), SortConfig(backend="mem"), reps=1
         ),
     ]
     return records

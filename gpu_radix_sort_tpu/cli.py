@@ -247,6 +247,17 @@ def _cmd_selftest(args) -> int:
         np.array_equal(gk64, k64s[o64]) and np.array_equal(gv64, v64[o64]),
     )
 
+    # round-5 surface: 64-bit keys through the STORAGE plane
+    from .parallel.storage_sort import sort_distrib_from_raw_u64
+
+    check(
+        "storage 64-bit sort (mem)",
+        np.array_equal(
+            sort_distrib_from_raw_u64(k64s, "st_u64", MemArrayFactory()),
+            np.sort(k64s),
+        ),
+    )
+
     if args.subprocess:
         with tempfile.TemporaryDirectory() as mount:
             check(

@@ -20,6 +20,8 @@ from .storage_sort import (  # noqa: F401
     sort_distrib_from_arr,
     sort_distrib_from_raw,
     sort_distrib_from_raw_kv,
+    sort_distrib_from_raw_kv64,
+    sort_distrib_from_raw_u64,
     resume_sort_distrib,
     load_checkpoint,
 )

@@ -74,6 +74,7 @@ def build_event(
     width: int,
     out_name: str,
     row_bytes: int = 4,
+    key_bits: int = 32,
 ) -> dict:
     event = {
         "offset": offset,
@@ -87,6 +88,10 @@ def build_event(
     # keys-only events so those stay byte-identical to the reference's.
     if row_bytes != 4:
         event["rowBytes"] = row_bytes
+    # 64-bit key extension (storage-plane u64, beyond libsort.h:19's u32):
+    # offset then addresses bits of the 8-byte order-encoded leading word.
+    if key_bits != 32:
+        event["keyBits"] = key_bits
     return event
 
 
@@ -100,10 +105,11 @@ def handle_event(event: dict, factory: ArrayFactory) -> DistribArray:
     cache: dict[str, DistribArray] = {}
     refs = [wire_to_part_ref(d, factory, cache) for d in event["input"]]
     row_bytes = int(event.get("rowBytes", 4))
-    if row_bytes != 4:
+    key_bits = int(event.get("keyBits", 32))
+    if row_bytes != 4 or key_bits != 32:
         return local_distrib_worker_kv(
             refs, event["offset"], event["width"], event["output"], factory,
-            row_bytes=row_bytes,
+            row_bytes=row_bytes, key_bits=key_bits,
         )
     return local_distrib_worker(
         refs, event["offset"], event["width"], event["output"], factory
@@ -158,7 +164,7 @@ def _worker_env(
     return env
 
 
-def _adapt_worker(invoke_fn, row_bytes: int = 4):
+def _adapt_worker(invoke_fn, row_bytes: int = 4, key_bits: int = 32):
     """Wrap an event-invoking callable into a DistribWorker: serialize
     refs, invoke, re-open the committed output array by name (reference:
     InitFaasWorker, invoke.go:174-212)."""
@@ -176,7 +182,7 @@ def _adapt_worker(invoke_fn, row_bytes: int = 4):
                 f"{type(factory).__name__}"
             )
         result = invoke_fn(
-            build_event(in_refs, offset, width, out_name, row_bytes)
+            build_event(in_refs, offset, width, out_name, row_bytes, key_bits)
         )
         if not result.get("success"):
             raise RuntimeError(f"worker error: {result.get('err')}")
@@ -310,9 +316,10 @@ class WorkerPool:
             )
             self._free.put(proc if healthy else None)
 
-    def worker(self, row_bytes: int = 4):
-        """Adapt the pool into a DistribWorker (kv rows via row_bytes)."""
-        return _adapt_worker(self.invoke, row_bytes)
+    def worker(self, row_bytes: int = 4, key_bits: int = 32):
+        """Adapt the pool into a DistribWorker (kv rows via row_bytes;
+        64-bit keys via key_bits)."""
+        return _adapt_worker(self.invoke, row_bytes, key_bits)
 
     def close(self) -> None:
         self._closed = True
@@ -340,6 +347,7 @@ def make_subprocess_worker(
     platform: str | None = "cpu",
     profile_dir: str | None = None,
     row_bytes: int = 4,
+    key_bits: int = 32,
 ):
     """Adapt subprocess invocation into a DistribWorker (reference:
     InitFaasWorker, invoke.go:174-212): serialize refs, invoke, re-open the
@@ -350,4 +358,5 @@ def make_subprocess_worker(
             event, mount, platform=platform, profile_dir=profile_dir
         ),
         row_bytes,
+        key_bits,
     )

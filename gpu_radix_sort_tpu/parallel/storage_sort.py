@@ -675,7 +675,7 @@ def _checkpoint_path(checkpoint_dir: str, name: str) -> str:
 
 def _write_checkpoint(
     checkpoint_dir: str, name: str, step: int, width: int, arrs,
-    row_bytes: int = KEY_BYTES,
+    row_bytes: int = KEY_BYTES, total_bits: int = TOTAL_BITS,
 ) -> None:
     os.makedirs(checkpoint_dir, exist_ok=True)
     payload = json.dumps(
@@ -685,6 +685,7 @@ def _write_checkpoint(
             "width": width,
             "nworker": len(arrs),
             "row_bytes": row_bytes,
+            "total_bits": total_bits,
             "arrays": [a.name for a in arrs],
         }
     )
@@ -716,6 +717,7 @@ def sort_distrib_from_arr(
     stats: SortStats | None = None,
     checkpoint_dir: str | None = None,
     row_bytes: int = KEY_BYTES,
+    total_bits: int = TOTAL_BITS,
 ) -> list[DistribArray]:
     """The bulk-synchronous round loop (reference: SortDistribFromArr,
     distrib.go:90-176).  Consumes (destroys) ``inputs``; returns the final
@@ -726,13 +728,27 @@ def sort_distrib_from_arr(
     round a manifest records the round's output array names; with a durable
     (file) factory, :func:`resume_sort_distrib` can continue after a crash
     from the last committed round.
+
+    ``total_bits=64`` runs ``64/width`` rounds over 8-byte keys (workers
+    built with ``key_bits=64``; width must also divide 32 so digit windows
+    never straddle the key's word boundary).
     """
-    if width <= 0 or TOTAL_BITS % width:
-        raise ValueError(f"width {width} must divide {TOTAL_BITS}")
+    if total_bits not in (32, 64):
+        raise ValueError(f"total_bits must be 32 or 64, got {total_bits}")
+    if width <= 0 or total_bits % width or 32 % width:
+        raise ValueError(
+            f"width {width} must divide 32 and {total_bits}"
+        )
+    if total_bits == 64 and row_bytes < 8:
+        raise ValueError(
+            f"total_bits=64 needs >= 8-byte rows, got row_bytes={row_bytes}"
+        )
     if nworker < 1:
         raise ValueError(f"nworker must be >= 1, got {nworker}")
     stats = stats if stats is not None else SortStats()
-    if _fused_device_eligible(factory, worker, list(inputs), row_bytes):
+    if total_bits == TOTAL_BITS and _fused_device_eligible(
+        factory, worker, list(inputs), row_bytes
+    ):
         return _sort_rounds_device_fused(
             inputs,
             name,
@@ -743,7 +759,7 @@ def sort_distrib_from_arr(
             stats=stats,
             checkpoint_dir=checkpoint_dir,
         )
-    nstep = TOTAL_BITS // width
+    nstep = total_bits // width
     arrs: list[DistribArray] = list(inputs)
 
     verbose = bool(os.environ.get("GRS_VERBOSE"))
@@ -778,7 +794,8 @@ def sort_distrib_from_arr(
         if checkpoint_dir is not None:
             with stats.time("checkpoint"):
                 _write_checkpoint(
-                    checkpoint_dir, name, step, width, outputs, row_bytes
+                    checkpoint_dir, name, step, width, outputs, row_bytes,
+                    total_bits,
                 )
         with stats.time("destroy"):
             for a in arrs:
@@ -809,7 +826,8 @@ def resume_sort_distrib(
     # The crashed run's nworker may exceed the resume-time nworker — sweep
     # up to the larger of the two so no stale '{name}.sN.wI' arrays leak
     # (older checkpoints without the field fall back to the current value).
-    nstep = TOTAL_BITS // ckpt["width"]
+    total_bits = int(ckpt.get("total_bits", TOTAL_BITS))
+    nstep = total_bits // ckpt["width"]
     sweep = max(int(ckpt.get("nworker", nworker)), nworker)
     for s in range(ckpt["completed_step"] + 1, nstep):
         for i in range(sweep):
@@ -825,6 +843,7 @@ def resume_sort_distrib(
         stats=stats,
         checkpoint_dir=checkpoint_dir,
         row_bytes=int(ckpt.get("row_bytes", KEY_BYTES)),
+        total_bits=total_bits,
     )
 
 
@@ -924,21 +943,40 @@ def local_distrib_worker_kv(
     factory: ArrayFactory,
     *,
     row_bytes: int,
+    key_bits: int = 32,
 ) -> DistribArray:
-    """KV-row worker: rows are fixed-width [4B uint32 key | payload] byte
-    records moving through the byte-blind plane (the reference's data plane
-    is type-blind bytes throughout — benchmark/pkg/data/file.go; its worker
+    """KV-row worker: rows are fixed-width [key | payload] byte records
+    moving through the byte-blind plane (the reference's data plane is
+    type-blind bytes throughout — benchmark/pkg/data/file.go; its worker
     only ever interpreted them as u32 keys, distrib.go:25-84).
 
-    TPU-native division of labor: only the 4B keys travel to the chip (the
-    stable digit argsort + exact counts run jitted on device); payload rows
-    are permuted host-side by the returned order, next to the storage they
-    came from — shipping W-byte payloads through the host<->device link to
-    sort on a 4B key would multiply transfer volume by (W+4)/4 for zero
-    compute benefit.
+    ``key_bits=32``: a 4B uint32 key leads each row.  ``key_bits=64``: an
+    8B little-endian order-encoded word leads each row (ops/bits
+    encode_ordered_np64) and ``offset`` addresses bits of the 64-bit key —
+    the digit window [offset, offset+width) lives entirely in word
+    ``offset // 32`` because width divides 32, so each round still moves
+    exactly ONE 4-byte lane to the chip (beyond the reference's u32-only
+    surface, libsort.h:19).
+
+    TPU-native division of labor: only the 4B digit word travels to the
+    chip (the stable digit argsort + exact counts run jitted on device);
+    payload rows are permuted host-side by the returned order, next to the
+    storage they came from — shipping W-byte payloads through the
+    host<->device link to sort on a 4B key would multiply transfer volume
+    by (W+4)/4 for zero compute benefit.
     """
-    if row_bytes <= KEY_BYTES:
-        raise ValueError(f"row_bytes must exceed {KEY_BYTES}, got {row_bytes}")
+    if key_bits not in (32, 64):
+        raise ValueError(f"key_bits must be 32 or 64, got {key_bits}")
+    key_bytes = key_bits // 8
+    if row_bytes < key_bytes or (key_bits == 32 and row_bytes == KEY_BYTES):
+        raise ValueError(
+            f"row_bytes {row_bytes} too small for key_bits {key_bits}"
+        )
+    if offset + width > key_bits or (offset % 32) + width > 32:
+        raise ValueError(
+            f"digit window [{offset}, {offset + width}) invalid for "
+            f"key_bits {key_bits} (must lie within one 32-bit word)"
+        )
     import jax
 
     buf = fetch_part_refs(in_refs)
@@ -949,7 +987,13 @@ def local_distrib_worker_kv(
         )
     rows = np.frombuffer(buf, dtype=np.uint8).reshape(-1, row_bytes)
     n = rows.shape[0]
-    keys = np.ascontiguousarray(rows[:, :KEY_BYTES]).view(np.uint32).reshape(-1)
+    # Digit word: little-endian word offset // 32 of the key (always word 0
+    # for 32-bit keys); the device offset is the bit offset WITHIN it.
+    col = KEY_BYTES * (offset // 32)
+    offset = offset % 32
+    keys = np.ascontiguousarray(
+        rows[:, col : col + KEY_BYTES]
+    ).view(np.uint32).reshape(-1)
     # Same pow2-padding contract as the keys-only worker: pad keys
     # 0xFFFFFFFF have the maximal digit at any (offset, width), so the
     # stable argsort puts every pad index at the global tail — order[:n]
@@ -1045,16 +1089,153 @@ def sort_distrib_from_raw_kv(
     return out_keys, out_payload
 
 
-def make_kv_worker(row_bytes: int) -> DistribWorker:
-    """A kv-row DistribWorker with the row width pinned (the round loop's
-    worker signature stays the reference's 5-argument contract)."""
+def make_kv_worker(row_bytes: int, key_bits: int = 32) -> DistribWorker:
+    """A kv-row DistribWorker with the row width (and key width) pinned —
+    the round loop's worker signature stays the reference's 5-argument
+    contract."""
 
     def worker(in_refs, offset, width, out_name, factory):
         return local_distrib_worker_kv(
-            in_refs, offset, width, out_name, factory, row_bytes=row_bytes
+            in_refs, offset, width, out_name, factory, row_bytes=row_bytes,
+            key_bits=key_bits,
         )
 
     return worker
+
+
+def _encode_rows_64(keys) -> tuple[np.ndarray, np.dtype, int]:
+    """64-bit keys -> (n, 8) little-endian order-encoded byte rows."""
+    from ..ops.bits import encode_ordered_np64
+
+    keys = np.asarray(keys)
+    if keys.dtype not in (np.uint64, np.int64, np.float64):
+        raise TypeError(
+            f"64-bit storage sorts take uint64/int64/float64 keys, got "
+            f"{keys.dtype}"
+        )
+    enc = np.ascontiguousarray(encode_ordered_np64(keys), dtype="<u8")
+    return enc.view(np.uint8).reshape(-1, 8), keys.dtype, keys.size
+
+
+def _decode_rows_64(rows: np.ndarray, dtype) -> np.ndarray:
+    from ..ops.bits import decode_ordered_np64
+
+    enc = np.ascontiguousarray(rows).view("<u8").reshape(-1)
+    return decode_ordered_np64(enc, dtype)
+
+
+def sort_distrib_from_raw_u64(
+    keys,
+    name: str,
+    factory: ArrayFactory,
+    worker: DistribWorker | None = None,
+    *,
+    width: int = 8,
+    nworker: int = 2,
+    stats: SortStats | None = None,
+    checkpoint_dir: str | None = None,
+) -> np.ndarray:
+    """Storage-mediated distributed sort of 64-BIT keys (uint64 / int64 /
+    float64 totalOrder) — the storage-plane twin of
+    :func:`ops.radix_sort.sort_full_u64`, beyond the reference's u32-only
+    surface (libsort.h:19).  ``64/width`` LSD rounds over 8-byte
+    order-encoded rows; each round's worker moves only the 4-byte digit
+    word to the chip (:func:`local_distrib_worker_kv` with key_bits=64).
+    Checkpoint/resume works unchanged (the manifest records total_bits).
+    """
+    rows, dtype, n = _encode_rows_64(keys)
+    stats = stats if stats is not None else SortStats()
+    if worker is None:
+        worker = make_kv_worker(8, key_bits=64)
+
+    with stats.time("stage_input"):
+        arr_in = factory.create(f"{name}.input", create_shape([n * 8]))
+        arr_in.write_part(0, memoryview(np.ascontiguousarray(rows).reshape(-1)))
+        arr_in.close()
+
+    outputs = sort_distrib_from_arr(
+        [arr_in],
+        name,
+        factory,
+        worker,
+        width=width,
+        nworker=nworker,
+        stats=stats,
+        checkpoint_dir=checkpoint_dir,
+        row_bytes=8,
+        total_bits=64,
+    )
+
+    with stats.time("linearize"):
+        raw = BucketReader(outputs, ReadOrder.STRIDED).read()
+        got = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 8)
+    for a in outputs:
+        a.destroy()
+    if got.shape[0] != n:
+        raise IOError(f"linearized {got.shape[0]} rows, expected {n}")
+    return _decode_rows_64(got, dtype)
+
+
+def sort_distrib_from_raw_kv64(
+    keys,
+    payload,
+    name: str,
+    factory: ArrayFactory,
+    worker: DistribWorker | None = None,
+    *,
+    width: int = 8,
+    nworker: int = 2,
+    stats: SortStats | None = None,
+    checkpoint_dir: str | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Storage-mediated distributed STABLE key-value sort with 64-bit keys:
+    rows are [8B order-encoded key | payload]; ties keep input order
+    (every round's digit argsort is stable).  Returns (sorted_keys,
+    payload_in_sorted_order).  ``payload``: (n, B) uint8."""
+    enc_rows, dtype, n = _encode_rows_64(keys)
+    payload = np.ascontiguousarray(payload, dtype=np.uint8)
+    if payload.ndim != 2 or payload.shape[0] != n:
+        raise ValueError(
+            f"payload must be (n, B) uint8 with n == len(keys); got "
+            f"{payload.shape} for n={n}"
+        )
+    row_bytes = 8 + payload.shape[1]
+    stats = stats if stats is not None else SortStats()
+    if worker is None:
+        worker = make_kv_worker(row_bytes, key_bits=64)
+
+    with stats.time("stage_input"):
+        rows = np.empty((n, row_bytes), dtype=np.uint8)
+        rows[:, :8] = enc_rows
+        rows[:, 8:] = payload
+        arr_in = factory.create(
+            f"{name}.input", create_shape([n * row_bytes])
+        )
+        arr_in.write_part(0, memoryview(rows.reshape(-1)))
+        arr_in.close()
+
+    outputs = sort_distrib_from_arr(
+        [arr_in],
+        name,
+        factory,
+        worker,
+        width=width,
+        nworker=nworker,
+        stats=stats,
+        checkpoint_dir=checkpoint_dir,
+        row_bytes=row_bytes,
+        total_bits=64,
+    )
+
+    with stats.time("linearize"):
+        raw = BucketReader(outputs, ReadOrder.STRIDED).read()
+        got = np.frombuffer(raw, dtype=np.uint8).reshape(-1, row_bytes)
+    for a in outputs:
+        a.destroy()
+    if got.shape[0] != n:
+        raise IOError(f"linearized {got.shape[0]} rows, expected {n}")
+    out_keys = _decode_rows_64(got[:, :8], dtype)
+    return out_keys, np.ascontiguousarray(got[:, 8:])
 
 
 def make_local_worker(strategy: str | None = None) -> DistribWorker:
