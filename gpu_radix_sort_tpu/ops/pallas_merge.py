@@ -238,6 +238,13 @@ def _merge_splits(x2d: jnp.ndarray, L: int, n: int, b_out: int):
 
     lo = jnp.maximum(0, r - L)
     hi = jnp.minimum(L, r)
+    # BINARY search, deliberately (round-5 measured negative,
+    # benchmarks/probe_split8.py): a K=8 multiway variant (one packed
+    # (2K, nblocks) gather per round, 3.2 bits/round, 8 rounds instead of
+    # 19-27) measured 77.6ms vs 69.1ms for the full 64M sort — the search
+    # is GATHER-THROUGHPUT-bound, not dispatch-latency-bound, and binary's
+    # 2 gathered elements per comparison bit is information-optimal
+    # (multiway pays 2K/log2(K+1) = 5x the elements per bit).
     for _ in range(int(np.log2(L)) + 2):
         mid = (lo + hi + 1) // 2
         # one packed gather per iteration (gather ops have fixed dispatch

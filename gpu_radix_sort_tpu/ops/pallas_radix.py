@@ -85,16 +85,39 @@ NSLOT = 8  # fragment DMA slots in flight per block
 # DMA granularity: must be a multiple of 8 rows (Mosaic crashes otherwise);
 # 16 halves the per-fragment chunk-branch count on the scalar core, which
 # is what stage B is bound by (measured ~1us/fragment of scalar work).
+# Probe-able via binning_pass(chunk_rows=...) — the window-anchoring
+# invariants below are asserted per call, so a larger granularity (e.g. 32,
+# the declared round-4 lever) can be measured without mis-sized-DMA risk.
 CHUNK_ROWS = 16
 
 
-def _slot_rows(b_out: int) -> int:
+def _check_chunk_rows(chunk_rows: int, b_out: int) -> None:
+    """Window-anchoring invariants (VERDICT r4 item 5 guard): chunk reads
+    start at rs = SRC_FRONT_ROWS + r0 - (dr0 - a0) - extra with dr0 - a0 <
+    chunk_rows and extra <= 1, so the earliest read row is SRC_FRONT_ROWS -
+    chunk_rows >= 0; tail overreads are covered by the 2*chunk_rows pad
+    rows binning_pass appends.  DMA row counts must be multiples of 8
+    (violations crash the TPU worker, docs/PERF_NOTES.md)."""
+    if chunk_rows % 8 or chunk_rows <= 0:
+        raise ValueError(f"chunk_rows {chunk_rows} must be a positive x8")
+    if SRC_FRONT_ROWS < chunk_rows:
+        raise ValueError(
+            f"chunk_rows {chunk_rows} exceeds SRC_FRONT_ROWS "
+            f"{SRC_FRONT_ROWS} (front-padding containment)"
+        )
+    if b_out % (chunk_rows * LANES):
+        raise ValueError(
+            f"b_out {b_out} must be a multiple of {chunk_rows * LANES}"
+        )
+
+
+def _slot_rows(b_out: int, chunk_rows: int = CHUNK_ROWS) -> int:
     """Fragment staging rows: chunk reads are anchored at the destination
-    window base floor8(dst_row), so a fragment sits up to CHUNK_ROWS+1 rows
-    deep plus its own b_out/128 rows and <1 row of lane-phase slack,
-    rounded up to whole chunks."""
-    raw = b_out // LANES + CHUNK_ROWS + 2 + (CHUNK_ROWS - 1)
-    return (raw // CHUNK_ROWS) * CHUNK_ROWS
+    window base floor(dst_row, chunk), so a fragment sits up to
+    chunk_rows+1 rows deep plus its own b_out/128 rows and <1 row of
+    lane-phase slack, rounded up to whole chunks."""
+    raw = b_out // LANES + chunk_rows + 2 + (chunk_rows - 1)
+    return (raw // chunk_rows) * chunk_rows
 
 
 # front padding of the source array: with window-anchored fragments the
@@ -182,13 +205,14 @@ def _rot_lanes_left(win, dl, interpret: bool):
 def _bin_kernel(
     k0_ref, nfrag_ref, g_ref, s_ref,  # scalar prefetch
     x_hbm, o_ref, acc, slots, sems, *, b_out: int, interpret: bool,
+    chunk_rows: int = CHUNK_ROWS,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
     j = pl.program_id(0)
     b_rows = b_out // LANES
-    srows = _slot_rows(b_out)
-    max_chunks = srows // CHUNK_ROWS
+    srows = _slot_rows(b_out, chunk_rows)
+    max_chunks = srows // chunk_rows
     jb = j * b_out
     k0j = k0_ref[j]
     nf = nfrag_ref[j]
@@ -213,7 +237,7 @@ def _bin_kernel(
         r0 = src0 // LANES
         phase = src0 - r0 * LANES
         extra = jnp.where(phase < lmod, 1, 0)  # borrow one row of shift
-        a0 = (dr0 // CHUNK_ROWS) * CHUNK_ROWS  # window base (dst rows)
+        a0 = (dr0 // chunk_rows) * chunk_rows  # window base (dst rows)
         # padded-x row corresponding to slot row 0 (= dst row a0)
         rs = SRC_FRONT_ROWS + r0 - dr0 - extra + a0
         start_row = dr0 - a0 + extra  # fragment's first row in the window
@@ -221,14 +245,14 @@ def _bin_kernel(
         # chunks == 0 encodes an empty fragment, so chunk/place predicates
         # need no separate ln > 0 conjunction (scalar-core savings)
         chunks = jnp.where(
-            ln > 0, (end_row + CHUNK_ROWS - 1) // CHUNK_ROWS, 0
+            ln > 0, (end_row + chunk_rows - 1) // chunk_rows, 0
         )
         return ln, rs, a0, chunks, dst0, phase, lmod
 
     def chunk_copy(u: int, rs, q: int):
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(rs + q * CHUNK_ROWS, CHUNK_ROWS), :],
-            slots.at[u, q * CHUNK_ROWS : (q + 1) * CHUNK_ROWS, :],
+            x_hbm.at[pl.ds(rs + q * chunk_rows, chunk_rows), :],
+            slots.at[u, q * chunk_rows : (q + 1) * chunk_rows, :],
             sems.at[u, q],
         )
 
@@ -273,7 +297,7 @@ def _bin_kernel(
                 for cls in classes:
                     @pl.when((prev < chunks) & (chunks <= cls))
                     def _(cls=cls):
-                        place(u, cls * CHUNK_ROWS, ln, a0, dst0, phase, lmod)
+                        place(u, cls * chunk_rows, ln, a0, dst0, phase, lmod)
                     prev = cls
 
         return carry
@@ -284,12 +308,17 @@ def _bin_kernel(
 
 
 @functools.lru_cache(maxsize=None)
-def _bin_call(nblocks: int, b_out: int, interpret: bool):
+def _bin_call(
+    nblocks: int, b_out: int, interpret: bool,
+    chunk_rows: int = CHUNK_ROWS,
+):
     from jax.experimental.pallas import tpu as pltpu
 
     b_rows = b_out // LANES
-    srows = _slot_rows(b_out)
-    kernel = functools.partial(_bin_kernel, b_out=b_out, interpret=interpret)
+    srows = _slot_rows(b_out, chunk_rows)
+    kernel = functools.partial(
+        _bin_kernel, b_out=b_out, interpret=interpret, chunk_rows=chunk_rows
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -303,7 +332,7 @@ def _bin_call(nblocks: int, b_out: int, interpret: bool):
                 # is ever emitted)
                 pltpu.VMEM((b_rows + srows, LANES), KEY_DTYPE),
                 pltpu.VMEM((NSLOT, srows, LANES), KEY_DTYPE),  # frag slots
-                pltpu.SemaphoreType.DMA((NSLOT, srows // CHUNK_ROWS)),
+                pltpu.SemaphoreType.DMA((NSLOT, srows // chunk_rows)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((nblocks * b_rows, LANES), KEY_DTYPE),
@@ -322,11 +351,14 @@ def binning_pass(
     *,
     tile: int | None = None,
     b_out: int | None = None,
+    chunk_rows: int = CHUNK_ROWS,
 ) -> jnp.ndarray:
     """One stable binning pass by bits [offset, offset+width).  ``width``
     must keep D = 2^width small (fragment count per block grows with D);
     wider windows should go through :func:`sort_by_digits_large`.
-    Geometry defaults to :func:`auto_geometry` (SMEM-bounded)."""
+    Geometry defaults to :func:`auto_geometry` (SMEM-bounded).
+    ``chunk_rows``: DMA chunk granularity (probe lever; invariants
+    asserted by :func:`_check_chunk_rows`)."""
     validate_digit_range(offset, width)
     if tile is None or b_out is None:
         at, ab = auto_geometry(keys.shape[0], width)
@@ -334,10 +366,7 @@ def binning_pass(
         b_out = b_out or ab
     if tile % b_out:
         raise ValueError(f"tile {tile} must be a multiple of b_out {b_out}")
-    if b_out % (CHUNK_ROWS * LANES):
-        raise ValueError(
-            f"b_out {b_out} must be a multiple of {CHUNK_ROWS * LANES}"
-        )
+    _check_chunk_rows(chunk_rows, b_out)
     n = keys.shape[0]
     if n == 0:
         return keys.astype(KEY_DTYPE)
@@ -356,10 +385,10 @@ def binning_pass(
             jnp.full((SRC_FRONT_ROWS, LANES), PAD, KEY_DTYPE),
             sorted_t.reshape(-1, LANES),
             # ... and chunk rounding may overread past the last row
-            jnp.full((2 * CHUNK_ROWS, LANES), PAD, KEY_DTYPE),
+            jnp.full((2 * chunk_rows, LANES), PAD, KEY_DTYPE),
         ]
     )
-    out = _bin_call(n_pad // b_out, b_out, _interpret())(
+    out = _bin_call(n_pad // b_out, b_out, _interpret(), chunk_rows)(
         k0, nfrag, g_run, sflat, x
     )
     return out.reshape(-1)[:n]
@@ -525,6 +554,7 @@ def sort_by_digits_large(
     *,
     tile: int | None = None,
     b_out: int | None = None,
+    chunk_rows: int = CHUNK_ROWS,
 ) -> jnp.ndarray:
     """Stable sort by bits [offset, offset+width) as LSD subpasses of
     PASS_WIDTH bits (stable subpasses compose to a stable sort of the whole
@@ -535,7 +565,8 @@ def sort_by_digits_large(
     while done < width:
         w = min(PASS_WIDTH, width - done)
         keys = binning_pass(
-            keys, offset + done, w, tile=tile, b_out=b_out
+            keys, offset + done, w, tile=tile, b_out=b_out,
+            chunk_rows=chunk_rows,
         )
         done += w
     return keys

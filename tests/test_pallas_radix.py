@@ -222,3 +222,27 @@ def test_supported_auto_kv_gate():
 
     # interpret mode (CPU tests) always refuses auto
     assert not prm.supported_auto_kv(1 << 26, 4)
+
+
+@pytest.mark.parametrize("chunk_rows", [8, 32])
+def test_binning_pass_chunk_rows_exact(chunk_rows):
+    """chunk_rows is a guarded probe lever (VERDICT r4 item 5): the
+    window-anchoring invariants are asserted and any x8 granularity is
+    exact.  b_out must be a multiple of chunk_rows*128."""
+    keys = Pcg32().fill(16384 + 17)
+    got = np.asarray(
+        pr.binning_pass(
+            keys, 4, 4, tile=TILE, b_out=4096, chunk_rows=chunk_rows
+        )
+    )
+    np.testing.assert_array_equal(got, _oracle(keys, 4, 4))
+
+
+def test_chunk_rows_validation():
+    keys = Pcg32().fill(4096)
+    with pytest.raises(ValueError, match="positive x8"):
+        pr.binning_pass(keys, 0, 4, tile=TILE, b_out=2048, chunk_rows=12)
+    with pytest.raises(ValueError, match="SRC_FRONT_ROWS"):
+        pr.binning_pass(keys, 0, 4, tile=TILE, b_out=TILE, chunk_rows=1024)
+    with pytest.raises(ValueError, match="multiple of"):
+        pr.binning_pass(keys, 0, 4, tile=TILE, b_out=2048, chunk_rows=32)
