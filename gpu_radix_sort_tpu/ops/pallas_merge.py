@@ -96,6 +96,14 @@ SPAD = np.int32(0x7FFFFFFF)
 
 TILE = 1 << 17  # stage-1 sorted run length (VMEM bitonic ceiling)
 B_OUT = 1 << 16  # output block per merge program (64K keys; measured best)
+# Upper merge levels run DOUBLE blocks where legal (L a multiple of 2^17
+# and >= the bigger window bound): halving the block count halves the
+# per-level fixed costs (split-search elements, per-block DMA issue,
+# rotations, folds) at +1 network stage per element.  Measured round 5
+# (benchmarks/probe_bout17.py, interleaved, exact): 67.14 vs 68.17 ms at
+# 64M = 999.6M keys/s (+1.5%).  2^18 would put the network on (2048, 128),
+# the documented scoped-VMEM bind — capped here.
+B_OUT_TOP = 1 << 17
 
 
 def _w_rows(b_out: int) -> int:
@@ -579,7 +587,7 @@ STAGE1_ROWS = 128  # production default (measured best, round 4)
 
 def sort_full_large(
     keys: jnp.ndarray, *, tile: int = TILE, b_out: int = B_OUT,
-    stage1_rows: int | None = STAGE1_ROWS,
+    b_out_top: int | None = None, stage1_rows: int | None = STAGE1_ROWS,
 ) -> jnp.ndarray:
     """HBM-scale ascending sort: pad to pow2, tile-sort (alternating
     directions), merge levels.  Requires tile >= window size
@@ -592,9 +600,17 @@ def sort_full_large(
     gated chains): 128 -> 68.1 ms (985M keys/s, -4.5% vs the full
     network's 71.3 ms); 512 neutral (71.7 ms) — XLA's narrow batched row
     sort is far cheaper per key than the 28 lane-roll network stages it
-    replaces.  ``None`` disables (full in-kernel network)."""
+    replaces.  ``None`` disables (full in-kernel network).
+
+    ``b_out_top``: block size for upper levels, used per level wherever
+    legal (L a multiple of it and >= its window bound) — the round-5
+    fixed-cost lever (see B_OUT_TOP).  Default: 2*b_out capped at
+    B_OUT_TOP.  The transition pads headroom rows once (~1 MB write)."""
     if tile < _w_rows(b_out) * LANES:
         raise ValueError(f"tile {tile} must be >= {_w_rows(b_out) * LANES}")
+    if b_out_top is None:
+        b_out_top = min(2 * b_out, B_OUT_TOP)
+    b_out_top = max(b_out_top, b_out)
     n = keys.shape[0]
     n_pad = _padded_n(n, tile)
     padded = jnp.concatenate(
@@ -612,6 +628,18 @@ def sort_full_large(
     )
     L = tile
     while L < n_pad:
-        x = merge_level(x, L, b_out, n=n_pad)
+        bo = b_out
+        if (
+            b_out_top > b_out
+            and L % b_out_top == 0
+            and L >= _w_rows(b_out_top) * LANES
+        ):
+            bo = b_out_top
+        need = n_pad // LANES + _pad_rows(bo)
+        if x.shape[0] < need:
+            x = jnp.concatenate(
+                [x, jnp.full((need - x.shape[0], LANES), PAD, KEY_DTYPE)]
+            )
+        x = merge_level(x, L, bo, n=n_pad)
         L *= 2
     return x.reshape(-1)[:n_pad][:n]
