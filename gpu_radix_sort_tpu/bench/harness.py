@@ -637,6 +637,12 @@ def run_benchmarks(
         bench_storage_u64(
             min(n1 // 8, 1 << 19), SortConfig(backend="mem"), reps=1
         ),
+        # device backend -> the fused u64 loop (one program for all
+        # 64/width rounds, storage_sort._sort_rounds_device_fused64)
+        bench_storage_u64(
+            min(n1, 4 << 20), SortConfig(backend="device", nworker=2),
+            reps=1,
+        ),
     ]
     return records
 

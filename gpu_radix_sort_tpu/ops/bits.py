@@ -49,6 +49,29 @@ def rotr32(x: jnp.ndarray, s: int) -> jnp.ndarray:
     return (x >> jnp.uint32(s)) | (x << jnp.uint32(32 - s))
 
 
+def rotr64_lanes(
+    hi: jnp.ndarray, lo: jnp.ndarray, s: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Static cyclic right-rotation of 64-bit values held as (hi, lo)
+    uint32 word lanes — the 64-bit twin of :func:`rotr32`, keeping the
+    rotated-value LSD trick x64-free on device (no uint64 anywhere).
+    Returns (hi', lo') of rotr64((hi << 32) | lo, s)."""
+    s %= 64
+    if s == 0:
+        return hi, lo
+    if s == 32:
+        return lo, hi
+    if s > 32:
+        hi, lo = lo, hi
+        s -= 32
+    # 0 < s < 32: each word keeps its top bits shifted down and receives
+    # the OTHER word's low s bits at the top.
+    sh, inv = jnp.uint32(s), jnp.uint32(32 - s)
+    new_lo = (lo >> sh) | (hi << inv)
+    new_hi = (hi >> sh) | (lo << inv)
+    return new_hi, new_lo
+
+
 def _ordered_codec(xp, a, dtype, bits: int, decode: bool):
     """Shared body of the encode/decode_ordered* variants: identity for
     unsigned, sign-bit flip for two's-complement ints, IEEE-754 totalOrder

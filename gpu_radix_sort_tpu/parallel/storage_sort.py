@@ -455,6 +455,210 @@ def _fused_allrounds_jit():
     return fn
 
 
+def _fused_allrounds64_jit():
+    """EVERY 64-bit round in ONE jitted program — the u64 twin of
+    :func:`_fused_allrounds_jit`, with the rotated-value identity lifted to
+    64 bits held as (hi, lo) uint32 word lanes (ops/bits.rotr64_lanes; no
+    uint64 on device, no jax_enable_x64).  Round k's order is the plain
+    ascending order of z = rotr64(enc, (k+1)w), a 2-lane lexicographic
+    sort (lax.sort num_keys=2); consecutive rounds compose as rotr64 by w;
+    the final round re-stacks at the static byte-balanced bounds and
+    row-sorts by value (identity rotation), with digit counts read off the
+    hi lane's top ``width`` bits.  Pads are 0xFFFFFFFF in BOTH lanes
+    (= u64 +inf; rotations fix all-ones) and tie only with value-identical
+    real keys — the sanctioned keys-only sentinel exception."""
+    fn = _JIT_CACHE.get("fused_allrounds64")
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        from ..ops.bits import rotr64_lanes
+
+        def f(hi, lo, width, k_ws, start_step, nstep):
+            W, n_pad = hi.shape
+            D = 1 << width
+            k_arr = np.asarray(k_ws)
+            bounds = np.concatenate([[0], np.cumsum(k_arr)])
+            zh, zl = rotr64_lanes(
+                hi.reshape(-1), lo.reshape(-1),
+                ((start_step + 1) * width) % 64,
+            )
+            for step in range(start_step, nstep - 1):
+                zh, zl = lax.sort((zh, zl), num_keys=2)
+                zh, zl = rotr64_lanes(zh, zl, width)  # z_k -> z_{k+1}
+            zh, zl = rotr64_lanes(zh, zl, (64 - (nstep * width) % 64) % 64)
+
+            def restack(stream):
+                rows = []
+                for w in range(W):
+                    seg = stream[int(bounds[w]) : int(bounds[w + 1])]
+                    if n_pad > k_ws[w]:
+                        seg = jnp.concatenate([
+                            seg,
+                            jnp.full(
+                                (n_pad - k_ws[w],), 0xFFFFFFFF, jnp.uint32
+                            ),
+                        ])
+                    rows.append(seg)
+                return jnp.stack(rows)
+
+            sh, sl = restack(zh), restack(zl)
+            # final round: identity rotation -> plain 2-lane row sorts
+            sh, sl = lax.sort((sh, sl), dimension=1, num_keys=2)
+            q = jnp.arange(1, D, dtype=jnp.uint32) << jnp.uint32(32 - width)
+            starts = jax.vmap(
+                lambda r: jnp.searchsorted(r, q, side="left")
+            )(sh).astype(jnp.int32)
+            b = jnp.concatenate(
+                [
+                    jnp.zeros((W, 1), jnp.int32),
+                    starts,
+                    jnp.full((W, 1), n_pad, jnp.int32),
+                ],
+                axis=1,
+            )
+            counts = b[:, 1:] - b[:, :-1]
+            packed_pairs = jnp.concatenate(
+                [
+                    jnp.stack(
+                        [sl[w, : k_ws[w]], sh[w, : k_ws[w]]], axis=1
+                    )  # (k, 2): [lo, hi] -> little-endian u64 rows
+                    for w in range(W)
+                ]
+            )
+            packed = lax.bitcast_convert_type(
+                packed_pairs, jnp.uint8
+            ).reshape(-1)
+            return sh, sl, counts, packed
+
+        fn = jax.jit(f, static_argnums=(2, 3, 4, 5))
+        _JIT_CACHE["fused_allrounds64"] = fn
+    return fn
+
+
+def _fused_linearize64_jit():
+    """Final 64-bit linearization: ONE 2-lane value sort of the carried
+    lanes (pads are +inf and tie only with identical real keys), emitted
+    as little-endian 8-byte rows."""
+    fn = _JIT_CACHE.get("fused_linearize64")
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        def f(hi, lo, k_ws):
+            n = int(sum(k_ws))
+            zh, zl = lax.sort(
+                (hi.reshape(-1), lo.reshape(-1)), num_keys=2
+            )
+            pairs = jnp.stack([zl[:n], zh[:n]], axis=1)
+            return lax.bitcast_convert_type(pairs, jnp.uint8).reshape(-1)
+
+        fn = jax.jit(f, static_argnums=(2,))
+        _JIT_CACHE["fused_linearize64"] = fn
+    return fn
+
+
+def _fused_device_eligible64(factory, worker, arrs, row_bytes: int) -> bool:
+    """The u64 fused device loop serves the stock 64-bit keys-only worker
+    over device-native arrays (same contract-preserving bypass as
+    :func:`_fused_device_eligible`)."""
+    return (
+        row_bytes == 8
+        and getattr(worker, "_fused64_ok", False)
+        and getattr(factory, "device_native", False)
+        and bool(arrs)
+        and all(getattr(a, "device_native", False) for a in arrs)
+        and sum(sum(a.get_shape().lens) for a in arrs) > 0
+    )
+
+
+def _sort_rounds_device_fused64(
+    inputs: Sequence[DistribArray],
+    name: str,
+    factory: ArrayFactory,
+    *,
+    width: int,
+    nworker: int,
+    start_step: int,
+    stats: SortStats,
+) -> list[DistribArray]:
+    """Device-resident 64-bit round loop: 1 program + 1 counts D2H for the
+    whole 64/width-round sort (the u64 twin of
+    :func:`_sort_rounds_device_fused`; engaged when nothing observes
+    intermediate rounds, i.e. ``checkpoint_dir is None``)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    nstep = 64 // width
+    arrs = list(inputs)
+    shapes = [a.get_shape() for a in arrs]
+    total = sum(sum(s.lens) for s in shapes)
+    if total % 8:
+        raise ValueError(f"stream of {total} bytes is not 8-aligned")
+    N = total // 8
+    per_b = math.ceil(total / max(nworker, 1))
+    per_b += (-per_b) % 8
+    per = per_b // 8
+    bounds = [min(w * per, N) for w in range(nworker + 1)]
+    k_ws = tuple(bounds[w + 1] - bounds[w] for w in range(nworker))
+    n_pad = 1 << max(max(k_ws) - 1, 1).bit_length()
+
+    with stats.time("split"):
+        segs = []
+        npart = max(s.npart for s in shapes)
+        for d in range(npart):
+            for a, s in zip(arrs, shapes):
+                if d < s.npart and s.lens[d]:
+                    segs.append(a.device_range(d))
+        stream0 = segs[0] if len(segs) == 1 else jnp.concatenate(segs)
+        words = lax.bitcast_convert_type(
+            stream0.reshape(-1, 4), jnp.uint32
+        ).reshape(-1, 2)  # little-endian rows: col 0 = lo, col 1 = hi
+        stack = _fused_stack_fn()
+        hi = stack(words[:, 1], k_ws, n_pad)
+        lo = stack(words[:, 0], k_ws, n_pad)
+
+    with stats.time("round_sort"):
+        sh, sl, counts_dev, packed = _fused_allrounds64_jit()(
+            hi, lo, width, k_ws, start_step, nstep
+        )
+        jax.block_until_ready((sh, sl, counts_dev, packed))
+    with stats.time("counts_d2h"):
+        counts = np.asarray(jax.device_get(counts_dev), dtype=np.int64)
+    for w in range(nworker):
+        counts[w, -1] -= n_pad - k_ws[w]
+    outputs = []
+    with stats.time("commit"):
+        for w in range(nworker):
+            caps = (counts[w] * 8).tolist()
+            out = factory.create(
+                f"{name}.s{nstep - 1}.w{w}", create_shape(caps)
+            )
+            out.put_device_packed(
+                packed[bounds[w] * 8 : bounds[w + 1] * 8], caps
+            )
+            out.close()
+            outputs.append(out)
+    with stats.time("destroy"):
+        for a in arrs:
+            a.destroy()
+    stats.add("rounds", nstep - start_step)
+    cell = [(sh, sl)]
+
+    def _fused_linearize64(_cell=cell):
+        h, l = _cell.pop()
+        return np.asarray(
+            chunked_device_get(_fused_linearize64_jit()(h, l, k_ws)),
+            dtype=np.uint8,
+        )
+
+    outputs[0]._fused_linearize64 = _fused_linearize64
+    return outputs
+
+
 def _fused_linearize_jit():
     """Jitted final linearization: after the last round the strided stream
     is the fully sorted array, i.e. ONE keys-only value sort of the carried
@@ -758,6 +962,20 @@ def sort_distrib_from_arr(
             start_step=start_step,
             stats=stats,
             checkpoint_dir=checkpoint_dir,
+        )
+    if (
+        total_bits == 64
+        and checkpoint_dir is None  # nothing observes intermediate rounds
+        and _fused_device_eligible64(factory, worker, list(inputs), row_bytes)
+    ):
+        return _sort_rounds_device_fused64(
+            inputs,
+            name,
+            factory,
+            width=width,
+            nworker=nworker,
+            start_step=start_step,
+            stats=stats,
         )
     nstep = total_bits // width
     arrs: list[DistribArray] = list(inputs)
@@ -1100,6 +1318,9 @@ def make_kv_worker(row_bytes: int, key_bits: int = 32) -> DistribWorker:
             key_bits=key_bits,
         )
 
+    # 8-byte keys-only 64-bit rows are eligible for the fused u64 device
+    # loop (contract-preserving bypass, _fused_device_eligible64)
+    worker._fused64_ok = key_bits == 64 and row_bytes == 8
     return worker
 
 
@@ -1167,8 +1388,15 @@ def sort_distrib_from_raw_u64(
     )
 
     with stats.time("linearize"):
-        raw = BucketReader(outputs, ReadOrder.STRIDED).read()
-        got = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 8)
+        fused = getattr(outputs[0], "_fused_linearize64", None)
+        if fused is not None:
+            # fused u64 device loop: ONE jitted 2-lane sort + ONE D2H
+            # instead of nworker * 2^width host partition reads
+            got = fused().reshape(-1, 8)
+            del outputs[0]._fused_linearize64
+        else:
+            raw = BucketReader(outputs, ReadOrder.STRIDED).read()
+            got = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 8)
     for a in outputs:
         a.destroy()
     if got.shape[0] != n:

@@ -162,3 +162,48 @@ def test_worker64_digit_window_validation():
     f = MemArrayFactory()
     with pytest.raises(ValueError, match="digit window"):
         local_distrib_worker_kv([], 60, 8, "x", f, row_bytes=8, key_bits=64)
+
+
+def test_fused64_device_loop_matches_generic():
+    """The fused u64 device loop (one program for all 64/width rounds,
+    _sort_rounds_device_fused64) must reproduce the generic worker loop's
+    output arrays BIT-IDENTICALLY: same names, same partition lens, same
+    partition bytes (keys-only value order == stable order for keys)."""
+    from gpu_radix_sort_tpu.ops.bits import encode_ordered_np64
+
+    keys = _keys64(3000, np.uint64, seed=21)
+    enc = np.ascontiguousarray(encode_ordered_np64(keys), dtype="<u8")
+
+    def run(factory, worker, name):
+        arr = factory.create(f"{name}.input", create_shape([keys.size * 8]))
+        arr.write_part(0, enc.tobytes())
+        arr.close()
+        return sort_distrib_from_arr(
+            [arr], name, factory, worker, width=8, nworker=3,
+            row_bytes=8, total_bits=64,
+        )
+
+    fast = make_kv_worker(8, key_bits=64)
+    assert fast._fused64_ok
+
+    def slow(*a, **k):  # unmarked wrapper -> generic worker loop
+        return fast(*a, **k)
+
+    f1, f2 = DeviceArrayFactory(), DeviceArrayFactory()
+    out_fused = run(f1, fast, "fz")
+    assert hasattr(out_fused[0], "_fused_linearize64")
+    out_gen = run(f2, slow, "gz")
+    assert len(out_fused) == len(out_gen) == 3
+    for af, ag in zip(out_fused, out_gen):
+        sf, sg = af.get_shape(), ag.get_shape()
+        assert list(sf.lens) == list(sg.lens)
+        assert bytes(af.read_all()) == bytes(ag.read_all())
+    # the one-shot linearize hook yields the fully sorted stream
+    got = np.frombuffer(
+        out_fused[0]._fused_linearize64(), dtype="<u8"
+    )
+    from gpu_radix_sort_tpu.ops.bits import decode_ordered_np64
+
+    np.testing.assert_array_equal(
+        decode_ordered_np64(got, np.uint64), np.sort(keys)
+    )
