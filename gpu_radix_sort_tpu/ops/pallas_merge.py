@@ -575,9 +575,23 @@ def merge_presorted(
             jnp.full((_pad_rows(b_out), LANES), PAD, KEY_DTYPE),
         ]
     )
+    b_out_top = min(2 * b_out, B_OUT_TOP)
     L = run
     while L < n:
-        x2d = merge_level(x2d, L, b_out, n=n)
+        bo = b_out
+        if (
+            b_out_top > b_out
+            and L % b_out_top == 0
+            and L >= _w_rows(b_out_top) * LANES
+        ):
+            bo = b_out_top  # round-5 fixed-cost lever (see B_OUT_TOP)
+        need = n // LANES + _pad_rows(bo)
+        if x2d.shape[0] < need:
+            x2d = jnp.concatenate(
+                [x2d,
+                 jnp.full((need - x2d.shape[0], LANES), PAD, KEY_DTYPE)]
+            )
+        x2d = merge_level(x2d, L, bo, n=n)
         L *= 2
     return x2d.reshape(-1)[:n]
 

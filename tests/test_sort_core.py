@@ -549,3 +549,25 @@ def test_sort_full_u64_typed():
     np.testing.assert_array_equal(got, np.sort(f64))
     z = sort_full_u64(np.array([0.0, -0.0], np.float64))
     np.testing.assert_array_equal(np.signbit(z), [True, False])
+
+
+@pytest.mark.parametrize("s", [0, 1, 8, 31, 32, 33, 40, 63, 64, 96])
+def test_rotr64_lanes_oracle(s):
+    """rotr64_lanes (the fused u64 device rounds' workhorse) vs a numpy
+    uint64 rotation oracle at every shift class: 0, sub-word, exactly one
+    word, cross-word, full turn, beyond."""
+    import jax.numpy as jnp
+
+    from gpu_radix_sort_tpu.ops.bits import rotr64_lanes
+
+    rng = np.random.default_rng(s)
+    v = rng.integers(0, 1 << 64, 1000, dtype=np.uint64)
+    hi = jnp.asarray((v >> np.uint64(32)).astype(np.uint32))
+    lo = jnp.asarray((v & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    h2, l2 = rotr64_lanes(hi, lo, s)
+    got = (np.asarray(h2).astype(np.uint64) << np.uint64(32)) | np.asarray(
+        l2
+    ).astype(np.uint64)
+    r = s % 64
+    want = ((v >> np.uint64(r)) | (v << np.uint64(64 - r))) if r else v
+    np.testing.assert_array_equal(got, want)
