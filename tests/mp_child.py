@@ -101,6 +101,40 @@ def main() -> None:
             got, expect_sorted[starts[chip]:starts[chip + 1]]
         )
 
+    # --- hash-aggregate pipeline across the process boundary -------------
+    from gpu_radix_sort_tpu.parallel.pipeline import build_hash_aggregate
+
+    n_rows = 1024 * nglobal
+    rng_keys = (np.arange(n_rows, dtype=np.uint64) * 2654435761 % 977).astype(
+        np.uint32
+    )  # 977 distinct keys, deterministic on every process
+    vals = np.ones(n_rows, dtype=np.uint32)
+    valid = np.ones(n_rows, dtype=bool)
+    mk = jax.make_array_from_callback
+    agg_fn, _cap = build_hash_aggregate(mesh, n_rows // nglobal, op="sum")
+    gk, ga, ng, ovf = agg_fn(
+        mk((n_rows,), sharding, lambda i: rng_keys[i]),
+        mk((n_rows,), sharding, lambda i: vals[i]),
+        mk((n_rows,), sharding, lambda i: valid[i]),
+    )
+    assert int(ovf) == 0
+    ng_all = np.asarray(
+        multihost_utils.process_allgather(ng, tiled=True)
+    ).reshape(-1)
+    assert ng_all.sum() == 977, ng_all  # every distinct key exactly once
+    want_k, want_c = np.unique(rng_keys, return_counts=True)
+    rows_per_chip = gk.shape[0] // nglobal
+    got = {}
+    for ks, vs in zip(gk.addressable_shards, ga.addressable_shards):
+        chip = ks.index[0].start // rows_per_chip
+        c = ng_all[chip]
+        for k, v in zip(np.asarray(ks.data)[:c], np.asarray(vs.data)[:c]):
+            got[int(k)] = int(v)
+    # this process sees only its own chips' groups; each must match oracle
+    for k, v in got.items():
+        i = np.searchsorted(want_k, k)
+        assert want_k[i] == k and want_c[i] == v, (k, v)
+
     print(f"CHILD_OK {pid}", flush=True)
 
 

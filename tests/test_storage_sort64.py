@@ -207,3 +207,43 @@ def test_fused64_device_loop_matches_generic():
     np.testing.assert_array_equal(
         decode_ordered_np64(got, np.uint64), np.sort(keys)
     )
+
+
+def test_fused64_disengages_under_checkpointing(tmp_path):
+    """checkpoint_dir observes intermediate rounds, so the fused u64
+    device loop must NOT engage — the generic worker loop runs (and
+    resume completes) even on the device factory."""
+    from gpu_radix_sort_tpu.ops.bits import (
+        decode_ordered_np64, encode_ordered_np64,
+    )
+
+    factory = DeviceArrayFactory()
+    ckpt_dir = str(tmp_path / "ckpt")
+    keys = _keys64(700, np.uint64, seed=33)
+    enc = np.ascontiguousarray(encode_ordered_np64(keys), dtype="<u8")
+    arr_in = factory.create("dck.input", create_shape([keys.size * 8]))
+    arr_in.write_part(0, enc.tobytes())
+    arr_in.close()
+
+    worker64 = make_kv_worker(8, key_bits=64)
+
+    def crashing(refs, offset, width, out_name, fac):
+        if out_name == "dck.s3.w1":
+            raise RuntimeError("injected crash")
+        return worker64(refs, offset, width, out_name, fac)
+
+    crashing._fused64_ok = True  # even marked, checkpointing must bypass
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sort_distrib_from_arr(
+            [arr_in], "dck", factory, crashing,
+            width=16, nworker=2, checkpoint_dir=ckpt_dir, row_bytes=8,
+            total_bits=64,
+        )
+    manifest = load_checkpoint(ckpt_dir, "dck")
+    assert manifest["completed_step"] == 2 and manifest["total_bits"] == 64
+    outputs = resume_sort_distrib("dck", factory, worker64, ckpt_dir,
+                                  nworker=2)
+    assert not hasattr(outputs[0], "_fused_linearize64")
+    raw = BucketReader(outputs, ReadOrder.STRIDED).read()
+    got = decode_ordered_np64(np.frombuffer(raw, dtype="<u8"), np.uint64)
+    np.testing.assert_array_equal(got, np.sort(keys))
