@@ -339,6 +339,13 @@ def bench_mesh_sort64_lsd(
              jax.device_put(hi[:, None], sharding))
     med1, mean1, sd1, out1 = device_time(fn, args1, reps=reps)
     ovf = int(out1[3])
+    if ovf:
+        # an overflowed pass would silently clip in compact() and feed a
+        # wrong-sized pass 2 — surface it like every host-facing path does
+        raise AssertionError(
+            f"mesh_sort64_lsd pass-1 exchange overflowed ({ovf} chips); "
+            "raise capacity_factor"
+        )
     slo, shi = compact(out1[0], out1[1][:, 0], out1[2])
     # pass 2: stable by hi, carrying lo (input = pass 1's true output)
     args2 = (jax.device_put(shi, sharding),

@@ -531,8 +531,34 @@ def min_presorted_run(b_out: int = B_OUT) -> int:
     return 1 << (need - 1).bit_length()
 
 
+def _pick_level_b_out(L: int, b_out: int, b_out_top: int) -> int:
+    """Block size for one merge level: the round-5 fixed-cost lever uses
+    ``b_out_top`` wherever legal (L a multiple of it and >= its window
+    bound — see B_OUT_TOP), else ``b_out``."""
+    if (
+        b_out_top > b_out
+        and L % b_out_top == 0
+        and L >= _w_rows(b_out_top) * LANES
+    ):
+        return b_out_top
+    return b_out
+
+
+def _ensure_headroom(x2d: jnp.ndarray, n: int, bo: int) -> jnp.ndarray:
+    """Extend the trailing DMA-headroom rows to merge_level's requirement
+    for block size ``bo`` (a one-time ~1 MB PAD write at the b_out ->
+    b_out_top transition; headroom contents are never placed)."""
+    need = n // LANES + _pad_rows(bo)
+    if x2d.shape[0] < need:
+        x2d = jnp.concatenate(
+            [x2d, jnp.full((need - x2d.shape[0], LANES), PAD, KEY_DTYPE)]
+        )
+    return x2d
+
+
 def merge_presorted(
-    x: jnp.ndarray, run: int, *, b_out: int = B_OUT
+    x: jnp.ndarray, run: int, *, b_out: int = B_OUT,
+    b_out_top: int | None = None,
 ) -> jnp.ndarray:
     """Ascending sort of a 1-D uint32 array that is the concatenation of
     equal-length ASCENDING sorted runs — merge levels ONLY, skipping
@@ -575,22 +601,13 @@ def merge_presorted(
             jnp.full((_pad_rows(b_out), LANES), PAD, KEY_DTYPE),
         ]
     )
-    b_out_top = min(2 * b_out, B_OUT_TOP)
+    if b_out_top is None:
+        b_out_top = min(2 * b_out, B_OUT_TOP)
+    b_out_top = max(b_out_top, b_out)
     L = run
     while L < n:
-        bo = b_out
-        if (
-            b_out_top > b_out
-            and L % b_out_top == 0
-            and L >= _w_rows(b_out_top) * LANES
-        ):
-            bo = b_out_top  # round-5 fixed-cost lever (see B_OUT_TOP)
-        need = n // LANES + _pad_rows(bo)
-        if x2d.shape[0] < need:
-            x2d = jnp.concatenate(
-                [x2d,
-                 jnp.full((need - x2d.shape[0], LANES), PAD, KEY_DTYPE)]
-            )
+        bo = _pick_level_b_out(L, b_out, b_out_top)
+        x2d = _ensure_headroom(x2d, n, bo)
         x2d = merge_level(x2d, L, bo, n=n)
         L *= 2
     return x2d.reshape(-1)[:n]
@@ -642,18 +659,8 @@ def sort_full_large(
     )
     L = tile
     while L < n_pad:
-        bo = b_out
-        if (
-            b_out_top > b_out
-            and L % b_out_top == 0
-            and L >= _w_rows(b_out_top) * LANES
-        ):
-            bo = b_out_top
-        need = n_pad // LANES + _pad_rows(bo)
-        if x.shape[0] < need:
-            x = jnp.concatenate(
-                [x, jnp.full((need - x.shape[0], LANES), PAD, KEY_DTYPE)]
-            )
+        bo = _pick_level_b_out(L, b_out, b_out_top)
+        x = _ensure_headroom(x, n_pad, bo)
         x = merge_level(x, L, bo, n=n_pad)
         L *= 2
     return x.reshape(-1)[:n_pad][:n]

@@ -471,7 +471,9 @@ def binning_pass_kv_cols(
     )(sorted_digits).astype(jnp.int32)
 
     g_run, sflat, k0, nfrag = _binning_metadata(starts, tile, b_out, n_pad)
-    call = _bin_call(n_pad // b_out, b_out, _interpret())
+    # pass chunk_rows explicitly so this shares ONE lru_cache entry (and
+    # ONE ~300s Mosaic compile) with binning_pass at the same geometry
+    call = _bin_call(n_pad // b_out, b_out, _interpret(), CHUNK_ROWS)
 
     def run_stream(stream_t):
         x = jnp.concatenate(

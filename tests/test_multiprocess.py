@@ -69,12 +69,22 @@ def test_two_process_collectives_exact():
         )
         for pid in range(NPROC)
     ]
-    outs = []
+    # Drain BOTH children concurrently: the processes must progress
+    # together through collectives, and a sequential communicate() on
+    # child 0 would leave child 1's pipes unread — verbose logging could
+    # fill the ~64KB pipe buffer and deadlock both into the timeout.
+    from concurrent.futures import ThreadPoolExecutor
+
     try:
-        for p in procs:
-            out, err = p.communicate(timeout=600)
-            outs.append((p.returncode, out, err))
-    except subprocess.TimeoutExpired:
+        with ThreadPoolExecutor(max_workers=NPROC) as pool:
+            futs = [pool.submit(p.communicate, timeout=600) for p in procs]
+            drained = [f.result(timeout=620) for f in futs]
+            # returncode only AFTER communicate() returned for that child
+            outs = [
+                (p.returncode, out, err)
+                for p, (out, err) in zip(procs, drained)
+            ]
+    except Exception:
         for p in procs:
             p.kill()
         for p in procs:
