@@ -47,6 +47,16 @@ def build_chain(depth, dev_keys):
 
 
 def main():
+    import inspect
+
+    if "depth" not in inspect.signature(pm._merge_call).parameters:
+        sys.exit(
+            "probe_depth3: the library's depth parameterization was "
+            "REVERTED after the negative measurement (PERF_NOTES round-5 "
+            "late) — re-apply this probe's commit diff to pallas_merge.py "
+            "before running, or the A/B would silently compare depth-2 "
+            "against itself."
+        )
     log(f"device: {jax.devices()[0]}")
     keys = Pcg32().fill(N)
     dev_keys = jax.device_put(keys)
